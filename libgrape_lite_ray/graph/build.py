@@ -1,0 +1,310 @@
+"""Distributed graph build: edge Dataset -> vertex dict + gid space +
+partitioned edge spool.
+
+Ray-Data-native replacement for the reference load pipeline
+(grape/fragment/ev_fragment_loader.h:71-186 +
+basic_fragment_loader.h:83-364): instead of MPI shuffles we use
+
+  1. a groupby-dedup of edge endpoints to build the vertex dictionary
+     (basic_fragment_loader.h:221-236 analog),
+  2. a global sort by oid + per-block offsets to assign dense gids in
+     oid-sorted order (so gid order == oid order; see ids.py),
+  3. degree-aware contiguous partition boundaries
+     (grape/worker/rebalancer.h analog),
+  4. a vectorized oid->gid translation (`pc.index_in` against the
+     broadcast sorted-oid dictionary, or a Dataset.join at scale),
+  5. a partitioned Parquet "spool" keyed by owner-of-src so each
+     fragment actor reads exactly its own edges
+     (basic_fragment_loader.h:155-172 edge routing analog).
+
+Multi-edge dedup happens inside the fragment (all out-edges of a vertex
+are colocated), matching mutable_csr.h:313-389's sorted dedup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..ids import part_of, partition_starts, weighted_partition_starts
+
+__all__ = ["GraphMeta", "build_graph", "edges_from_numpy", "attach_oids"]
+
+
+@dataclass
+class GraphMeta:
+    """Everything a driver / fragment actor needs to locate the graph."""
+
+    work_dir: str
+    num_vertices: int
+    num_edges: int  # pre-dedup routed edge count
+    num_partitions: int
+    starts: np.ndarray  # int64[P+1] contiguous gid range boundaries
+    directed: bool
+    oid_type: str  # "string" | "int64"
+    has_weights: bool = False
+    fingerprint: str = ""
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def spool_dir(self) -> str:
+        return os.path.join(self.work_dir, "edges")
+
+    @property
+    def vertices_path(self) -> str:
+        return os.path.join(self.work_dir, "vertices")
+
+    def save(self):
+        os.makedirs(self.work_dir, exist_ok=True)
+        with open(os.path.join(self.work_dir, "graph_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "num_vertices": self.num_vertices,
+                    "num_edges": self.num_edges,
+                    "num_partitions": self.num_partitions,
+                    "starts": self.starts.tolist(),
+                    "directed": self.directed,
+                    "oid_type": self.oid_type,
+                    "has_weights": self.has_weights,
+                    "fingerprint": self.fingerprint,
+                    "extra": self.extra,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, work_dir: str) -> "GraphMeta":
+        with open(os.path.join(work_dir, "graph_meta.json")) as f:
+            d = json.load(f)
+        d["starts"] = np.asarray(d["starts"], dtype=np.int64)
+        return cls(work_dir=work_dir, **d)
+
+
+def edges_from_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None = None):
+    """Small-fixture helper: numpy edge arrays -> Ray Dataset."""
+    import ray.data as rd
+
+    cols = {"src": src, "dst": dst}
+    if w is not None:
+        cols["w"] = np.asarray(w, dtype=np.float64)
+    return rd.from_arrow(pa.table(cols))
+
+
+def _endpoint_weight_table(edges_ds):
+    """(oid, weight) rows: src endpoints weigh 1 (out-degree proxy for
+    rebalancing), dst endpoints weigh 0 — union'd then summed."""
+
+    def emit_simple(t: pa.Table) -> pa.Table:
+        oid = pa.chunked_array([t.column("src"), t.column("dst")]).combine_chunks()
+        w = np.zeros(len(oid), dtype=np.int64)
+        w[: len(t)] = 1
+        return pa.table({"oid": oid, "cnt": w})
+
+    return edges_ds.select_columns(["src", "dst"]).map_batches(
+        emit_simple, batch_format="pyarrow", batch_size=None
+    )
+
+
+def build_graph(
+    edges_ds,
+    work_dir: str,
+    num_partitions: int,
+    *,
+    directed: bool = True,
+    symmetrize: bool = False,
+    degree_aware: bool = True,
+    weight_col: str | None = None,
+    broadcast_threshold: int = 4_000_000,
+    fingerprint: str = "",
+) -> GraphMeta:
+    """Build the on-disk graph layout from an edge Dataset with columns
+    ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
+
+    ``symmetrize=True`` loads every edge in both directions (the
+    reference's undirected load, types.h LoadStrategy semantics for the
+    undirected apps).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    os.makedirs(work_dir, exist_ok=True)
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    edges_ds = edges_ds.select_columns(cols)
+    if weight_col and weight_col != "w":
+        edges_ds = edges_ds.rename_columns({weight_col: "w"})
+
+    if symmetrize:
+        def rev(t: pa.Table) -> pa.Table:
+            d = {"src": t.column("dst"), "dst": t.column("src")}
+            if weight_col:
+                d["w"] = t.column("w")
+            return pa.table(d)
+
+        edges_ds = edges_ds.union(
+            edges_ds.map_batches(rev, batch_format="pyarrow", batch_size=None)
+        )
+
+    # ---- 1. vertex dictionary with out-degree-proxy weights (shuffle #1)
+    vds = (
+        _endpoint_weight_table(edges_ds)
+        .groupby("oid")
+        .aggregate(Sum("cnt", alias_name="weight"))
+    )
+
+    # ---- 2. sort by oid; per-block summaries -> dense gid offsets
+    vds = vds.sort("oid").materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n = len(t)
+        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        step = max(1, n // 64)
+        pos = np.arange(0, n, step, dtype=np.int64)
+        cumw = np.cumsum(w)
+        return pa.table(
+            {
+                "min_oid": pa.array([t.column("oid")[0].as_py()]),
+                "n_rows": pa.array([n], pa.int64()),
+                "w_sum": pa.array([float(cumw[-1]) if n else 0.0], pa.float64()),
+                "sample_pos": pa.array([pos.tolist()], pa.list_(pa.int64())),
+                "sample_cumw": pa.array([cumw[pos].tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    summaries = vds.map_batches(summarize, batch_format="pyarrow", batch_size=None).take_all()
+    summaries.sort(key=lambda r: r["min_oid"])
+    offsets: dict = {}
+    total = 0
+    sample_gids, sample_w = [], []
+    for srow in summaries:
+        offsets[srow["min_oid"]] = total
+        pos = np.asarray(srow["sample_pos"], dtype=np.int64)
+        cumw = np.asarray(srow["sample_cumw"], dtype=np.float64)
+        gids = total + pos
+        w_at = np.diff(np.concatenate([[0.0], cumw]))  # weight per sampled segment
+        sample_gids.append(gids)
+        sample_w.append(np.maximum(w_at, 0.0) + 1.0)  # +1 = vertex factor
+        total += srow["n_rows"]
+    num_vertices = total
+    if num_vertices == 0:
+        raise ValueError("empty edge input")
+
+    num_partitions = min(num_partitions, max(1, num_vertices))
+    if degree_aware and sample_gids:
+        starts = weighted_partition_starts(
+            np.concatenate(sample_gids), np.concatenate(sample_w),
+            num_vertices, num_partitions,
+        )
+    else:
+        starts = partition_starts(num_vertices, num_partitions)
+
+    # ---- 3. write vertex dict (oid, gid, weight), preserving block order
+    def assign_gids(t: pa.Table) -> pa.Table:
+        off = offsets[t.column("oid")[0].as_py()]
+        gid = np.arange(off, off + len(t), dtype=np.int64)
+        return pa.table({"oid": t.column("oid"), "gid": gid, "weight": t.column("weight")})
+
+    vtx = vds.map_batches(assign_gids, batch_format="pyarrow", batch_size=None)
+    vtx.write_parquet(os.path.join(work_dir, "vertices"))
+
+    sch = vds.schema()
+    pa_sch = getattr(sch, "base_schema", sch)
+    oid_pa_type = pa_sch.field("oid").type
+    oid_type = (
+        "string"
+        if pa.types.is_string(oid_pa_type) or pa.types.is_large_string(oid_pa_type)
+        else "int64"
+    )
+
+    # ---- 4. translate edges to gid space
+    if num_vertices <= broadcast_threshold:
+        # broadcast the sorted oid dictionary once (ray.put), index_in per batch
+        sorted_oids = pa.concat_tables(
+            [pa.table({"oid": b["oid"]}) for b in vtx.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        ).column("oid").combine_chunks()
+        dict_ref = ray.put(sorted_oids)
+
+        class Translate:
+            def __init__(self):
+                self.oids = ray.get(dict_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                sg = pc.index_in(t.column("src"), value_set=self.oids).cast(pa.int64())
+                dg = pc.index_in(t.column("dst"), value_set=self.oids).cast(pa.int64())
+                d = {"src_gid": sg, "dst_gid": dg}
+                if "w" in t.column_names:
+                    d["w"] = t.column("w")
+                return pa.table(d)
+
+        edges_gid = edges_ds.map_batches(Translate, batch_format="pyarrow",
+                                         batch_size=None, concurrency=(1, num_partitions))
+    else:
+        # large-dictionary path: two hash-shuffle joins (Dataset.join)
+        v = rd.read_parquet(os.path.join(work_dir, "vertices"), columns=["oid", "gid"])
+        e = edges_ds.join(v.rename_columns({"oid": "src", "gid": "src_gid"}),
+                          join_type="inner", on=("src",), num_partitions=num_partitions)
+        e = e.join(v.rename_columns({"oid": "dst", "gid": "dst_gid"}),
+                   join_type="inner", on=("dst",), num_partitions=num_partitions)
+        keep = ["src_gid", "dst_gid"] + (["w"] if weight_col else [])
+        edges_gid = e.select_columns(keep)
+
+    # ---- 5. spool: Parquet partitioned by owner-of-src (shuffle #2)
+    spool = os.path.join(work_dir, "edges")
+    os.makedirs(spool, exist_ok=True)
+    starts_list = starts  # closure capture (tiny)
+
+    def write_spool(t: pa.Table) -> pa.Table:
+        sg = t.column("src_gid").to_numpy(zero_copy_only=False)
+        parts = part_of(sg, starts_list)
+        order = np.argsort(parts, kind="stable")
+        t2 = t.take(pa.array(order))
+        parts_sorted = parts[order]
+        bounds = np.searchsorted(parts_sorted, np.arange(len(starts_list)))
+        fid = uuid.uuid4().hex[:12]
+        counts = []
+        for p in np.unique(parts_sorted):
+            lo, hi = bounds[p], bounds[p + 1] if p + 1 < len(bounds) else len(t2)
+            sub = t2.slice(lo, hi - lo)
+            pdir = os.path.join(spool, f"part={p}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(sub, os.path.join(pdir, f"{fid}.parquet"))
+            counts.append((int(p), hi - lo))
+        return pa.table({"part": pa.array([c[0] for c in counts], pa.int32()),
+                         "rows": pa.array([c[1] for c in counts], pa.int64())})
+
+    stats = edges_gid.map_batches(write_spool, batch_format="pyarrow", batch_size=None)
+    num_edges = int(sum(r["rows"] for r in stats.take_all()))
+
+    meta = GraphMeta(
+        work_dir=work_dir,
+        num_vertices=int(num_vertices),
+        num_edges=num_edges,
+        num_partitions=int(num_partitions),
+        starts=starts,
+        directed=directed and not symmetrize,
+        oid_type=oid_type,
+        has_weights=bool(weight_col),
+        fingerprint=fingerprint,
+    )
+    meta.save()
+    return meta
+
+
+def attach_oids(result_table: pa.Table, meta: GraphMeta, gid_col: str = "gid",
+                oid_name: str = "oid") -> pa.Table:
+    """Re-attach original ids to a (gid, ...) result (build-time-join
+    analog of global_vertex_map.h:174-209 lookups; gids are the rank in
+    the sorted oid dict so this is a pure gather)."""
+    vt = pq.read_table(os.path.join(meta.work_dir, "vertices"), columns=["oid", "gid"])
+    order = pc.sort_indices(vt.column("gid"))
+    oids_sorted = vt.column("oid").take(order)
+    gathered = oids_sorted.take(result_table.column(gid_col))
+    out = result_table.add_column(0, oid_name, gathered)
+    return out

@@ -1,0 +1,188 @@
+"""Fragment: one contiguous-gid-range partition of the graph held as a
+CSR block with mirror (outer-vertex) bookkeeping — the Ray-native
+analog of grape/fragment/immutable_edgecut_fragment.h:69-301.
+
+Layout (all NumPy, built once per actor from the partitioned Parquet
+spool, cf. ImmutableEdgecutFragment::Init):
+
+- inner vertices: gids ``[lo, hi)``; local id = gid - lo.
+- ``indptr/indices``: CSR of out-edges of inner vertices; neighbor
+  local index < ivnum for inner, else ``ivnum + rank`` in the sorted
+  ``outer_gids`` array (ovg2l analog,
+  immutable_edgecut_fragment.h:399-411).
+- per-vertex neighbor lists are sorted by gid (immutable_csr.h:100-107)
+  which also makes float reductions order-stable across partition
+  counts.
+- ``outer_gids`` sorted ascending; because partitions are contiguous
+  gid ranges, mirrors of one owner form a contiguous slice — mirror
+  request lists (csr_edgecut_fragment_base.h:228-268 IOEDests analog)
+  are free.
+- a CSC-style transpose (``tgt_order/tgt_starts/tgt_unique``) built
+  once for vectorized push-style updates (np.minimum/add.reduceat over
+  edges grouped by destination).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..ids import part_of
+
+__all__ = ["Fragment"]
+
+
+class Fragment:
+    def __init__(self, part_id: int, work_dir: str, starts: np.ndarray,
+                 has_weights: bool = False):
+        self.part = int(part_id)
+        self.starts = np.asarray(starts, dtype=np.int64)
+        self.num_parts = len(self.starts) - 1
+        self.lo = int(self.starts[self.part])
+        self.hi = int(self.starts[self.part + 1])
+        self.ivnum = self.hi - self.lo
+        self.has_weights = has_weights
+
+        files = sorted(glob.glob(os.path.join(work_dir, "edges", f"part={self.part}", "*.parquet")))
+        if files:
+            cols = ["src_gid", "dst_gid"] + (["w"] if has_weights else [])
+            t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+            src = t.column("src_gid").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t.column("dst_gid").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64) if has_weights else None
+        else:
+            src = np.empty(0, np.int64)
+            dst = np.empty(0, np.int64)
+            w = np.empty(0, np.float64) if has_weights else None
+
+        # sort by (src, dst); dedup (src,dst) pairs unless weighted
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        if w is not None:
+            w = w[order]
+        if w is None and len(src):
+            keep = np.empty(len(src), dtype=bool)
+            keep[0] = True
+            np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+            src, dst = src[keep], dst[keep]
+
+        self.num_local_edges = len(src)
+        inner_mask = (dst >= self.lo) & (dst < self.hi)
+        self.outer_gids = np.unique(dst[~inner_mask])
+        self.ovnum = len(self.outer_gids)
+        self.tvnum = self.ivnum + self.ovnum
+
+        indices = np.empty(len(dst), dtype=np.int64)
+        indices[inner_mask] = dst[inner_mask] - self.lo
+        indices[~inner_mask] = self.ivnum + np.searchsorted(self.outer_gids, dst[~inner_mask])
+        self.indices = indices
+        self.edge_w = w
+
+        rowlens = np.bincount(src - self.lo, minlength=self.ivnum).astype(np.int64)
+        self.indptr = np.concatenate([[0], np.cumsum(rowlens)])
+        self.out_degree = rowlens  # post-dedup local out-degree (== global:
+        # all out-edges of an inner vertex are routed here, ev_fragment_loader.h)
+        self.src_of_edge = np.repeat(np.arange(self.ivnum, dtype=np.int64), rowlens)
+
+        # transpose structure for push-style per-destination reductions
+        self.tgt_order = np.argsort(indices, kind="stable")
+        sorted_tgts = indices[self.tgt_order]
+        self.tgt_unique, self.tgt_starts = np.unique(sorted_tgts, return_index=True)
+
+        # mirror slices per owner partition (contiguous in outer_gids)
+        self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
+        # incoming mirror requests: requester part -> inner lids to export
+        self.export_lids: dict[int, np.ndarray] = {}
+
+    # ---------------------------------------------------------- id helpers
+    def inner_gids(self) -> np.ndarray:
+        return np.arange(self.lo, self.hi, dtype=np.int64)
+
+    def all_gids(self) -> np.ndarray:
+        return np.concatenate([self.inner_gids(), self.outer_gids])
+
+    def lids_of(self, gids: np.ndarray) -> np.ndarray:
+        """gid -> local index (inner: gid-lo; outer: searchsorted)."""
+        out = np.empty(len(gids), dtype=np.int64)
+        m = (gids >= self.lo) & (gids < self.hi)
+        out[m] = gids[m] - self.lo
+        out[~m] = self.ivnum + np.searchsorted(self.outer_gids, gids[~m])
+        return out
+
+    def owner_of(self, gids: np.ndarray) -> np.ndarray:
+        return part_of(gids, self.starts)
+
+    # ---------------------------------------------------------- mirrors
+    def mirror_requests(self) -> dict[int, np.ndarray]:
+        """{owner_part: gids we hold as mirrors} (contiguous slices)."""
+        out = {}
+        for q in range(self.num_parts):
+            a, b = self.mirror_bounds[q], self.mirror_bounds[q + 1]
+            if b > a:
+                out[q] = self.outer_gids[a:b]
+        return out
+
+    def register_requests(self, reqs: dict[int, np.ndarray]):
+        """Owner side: remember which inner values each requester needs."""
+        for requester, gids in reqs.items():
+            self.export_lids[int(requester)] = np.asarray(gids, dtype=np.int64) - self.lo
+
+    def export_values(self, values: np.ndarray) -> dict[int, np.ndarray]:
+        """Dense mirror sync (batch_shuffle_message_manager.h:225-285
+        SyncInnerVertices analog): slice inner `values` per requester."""
+        return {p: values[lids] for p, lids in self.export_lids.items()}
+
+    def fill_outer(self, buf: np.ndarray, received: dict[int, np.ndarray]):
+        """Place per-owner received arrays into the outer segment of
+        ``buf`` (len tvnum), matching mirror_requests order."""
+        for q, vals in received.items():
+            a, b = self.mirror_bounds[q], self.mirror_bounds[q + 1]
+            buf[self.ivnum + a: self.ivnum + b] = vals
+
+    # ---------------------------------------------------------- kernels
+    def segment_sum(self, edge_vals: np.ndarray) -> np.ndarray:
+        """Per-inner-vertex sum of per-edge values in CSR order.
+
+        Uses reduceat with the empty-segment fix so results are bitwise
+        identical for any partitioning (each vertex's adjacency is
+        complete and sorted locally)."""
+        out = np.zeros(self.ivnum, dtype=np.float64)
+        if len(edge_vals) == 0:
+            return out
+        starts = self.indptr[:-1]
+        valid = self.indptr[1:] > starts
+        safe = np.minimum(starts, len(edge_vals) - 1)
+        sums = np.add.reduceat(edge_vals, safe)
+        out[valid] = sums[valid]
+        return out
+
+    def segment_min(self, edge_vals: np.ndarray, empty_fill) -> np.ndarray:
+        out = np.full(self.ivnum, empty_fill, dtype=edge_vals.dtype)
+        if len(edge_vals) == 0:
+            return out
+        starts = self.indptr[:-1]
+        valid = self.indptr[1:] > starts
+        safe = np.minimum(starts, len(edge_vals) - 1)
+        mins = np.minimum.reduceat(edge_vals, safe)
+        out[valid] = mins[valid]
+        return out
+
+    def push_min(self, buf: np.ndarray, edge_vals: np.ndarray):
+        """buf[target] = min(buf[target], edge_vals[e]) for every edge,
+        vectorized via the precomputed transpose (reduceat per target)."""
+        if len(edge_vals) == 0:
+            return
+        v = edge_vals[self.tgt_order]
+        mins = np.minimum.reduceat(v, self.tgt_starts)
+        buf[self.tgt_unique] = np.minimum(buf[self.tgt_unique], mins)
+
+    def push_sum(self, buf: np.ndarray, edge_vals: np.ndarray):
+        if len(edge_vals) == 0:
+            return
+        v = edge_vals[self.tgt_order]
+        sums = np.add.reduceat(v, self.tgt_starts)
+        buf[self.tgt_unique] += sums

@@ -1,0 +1,18 @@
+"""Vertex programs (PIE-app analogs, examples/analytical_apps/*).
+
+Each program runs inside every fragment actor; the superstep driver
+(driver.py) orchestrates produce/consume rounds and global reductions,
+mirroring grape/worker/worker.h:87-133.
+"""
+
+from .base import VertexProgram
+from .pagerank import PageRank
+from .wcc import WCC
+from .cdlp import CDLP
+from .bfs import BFS
+from .sssp import SSSP
+from .lcc import LCC
+
+PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC)}
+
+__all__ = ["VertexProgram", "PageRank", "WCC", "CDLP", "BFS", "SSSP", "LCC", "PROGRAMS"]

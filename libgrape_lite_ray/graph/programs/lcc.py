@@ -1,0 +1,231 @@
+"""LCC / triangle counting — exact semantics of
+examples/analytical_apps/lcc/lcc.h:50-246 in three supersteps:
+
+1. degree exchange (mirror sync of undirected degree);
+2. oriented-adjacency exchange: every vertex keeps neighbors with
+   (deg, gid) strictly smaller than its own (lcc.h:108-121 orientation
+   — the skew guard that bounds per-vertex fanout on zipfian graphs),
+   owners ship the oriented lists of their exported mirrors
+   (SendMsgThroughOEdges of msg_vec, lcc.h:122-124); then wedge
+   expansion + membership test counts triangles, attributing +1 to all
+   three corners (lcc.h:154-186);
+3. mirror triangle-count sum-sync back to owners
+   (SyncStateOnOuterVertex, lcc.h:188-199), then
+   ``lcc = 2*t / (deg*(deg-1))`` (lcc.h:222-231).
+
+Run on a graph built with ``symmetrize=True`` (undirected).  The wedge
+expansion is fully vectorized and chunked to bound memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import VertexProgram
+
+_CHUNK_WEDGES = 8_000_000
+
+
+def _gather_segments(data: np.ndarray, indptr: np.ndarray, ids: np.ndarray):
+    """Concatenate data[indptr[i]:indptr[i+1]] for i in ids; returns
+    (gathered, lens)."""
+    lens = (indptr[ids + 1] - indptr[ids]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return data[:0], lens
+    starts = np.repeat(indptr[ids], lens)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+    )
+    return data[starts + offs], lens
+
+
+class LCC(VertexProgram):
+    name = "lcc"
+    default_max_rounds = 4
+
+    def init(self) -> dict:
+        f = self.frag
+        self.stage = 0
+        self.deg_full = np.zeros(f.tvnum, dtype=np.int64)
+        self.deg_full[: f.ivnum] = f.out_degree
+        self.tricnt = np.zeros(f.tvnum, dtype=np.int64)
+        self.done = False
+        return {}
+
+    # ---------------------------------------------------------- produce
+    def mirror_values(self, rnd: int):
+        if self.stage == 0:
+            return self.frag.out_degree
+        return None
+
+    def messages(self, rnd: int) -> dict[int, tuple]:
+        f = self.frag
+        if self.stage == 1:
+            # ship oriented adjacency of exported mirrors to requesters
+            out = {}
+            for p, lids in f.export_lids.items():
+                nbr_gids, lens = _gather_segments(self.o_nbr_gid_inner, self.o_indptr, lids)
+                u_rep = np.repeat(f.lo + lids, lens)
+                out[p] = (u_rep, nbr_gids)
+            return out
+        if self.stage == 2:
+            out = {}
+            for q in range(f.num_parts):
+                a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
+                cnt = self.tricnt[f.ivnum + a: f.ivnum + b]
+                m = cnt > 0
+                if m.any():
+                    out[q] = (f.outer_gids[a:b][m], cnt[m])
+            return out
+        return {}
+
+    # ---------------------------------------------------------- update
+    def update(self, rnd: int, outer_vals, msgs) -> int:
+        f = self.frag
+        if self.stage == 0:
+            if outer_vals is not None:
+                self.deg_full[f.ivnum:] = outer_vals
+            self._orient()
+            self.stage = 1
+            return 1
+        if self.stage == 1:
+            self._count_triangles(msgs)
+            self.stage = 2
+            return 1
+        if self.stage == 2:
+            if msgs:
+                gids = np.concatenate([m[0] for m in msgs])
+                cnts = np.concatenate([m[1] for m in msgs])
+                np.add.at(self.tricnt, gids - f.lo, cnts)
+            deg = f.out_degree
+            t = self.tricnt[: f.ivnum]
+            lcc = np.zeros(f.ivnum, dtype=np.float64)
+            m = deg >= 2
+            lcc[m] = 2.0 * t[m] / (deg[m] * (deg[m] - 1.0))
+            self.lcc = lcc
+            self.done = True
+            self.stage = 3
+            return 0
+        return 0
+
+    def _orient(self):
+        f = self.frag
+        nbr_gid = f.all_gids()[f.indices]
+        v_gid = f.lo + f.src_of_edge
+        nd, vd = self.deg_full[f.indices], self.deg_full[f.src_of_edge]
+        keep = (nd < vd) | ((nd == vd) & (nbr_gid < v_gid))
+        o_src = f.src_of_edge[keep]
+        self.o_nbr_local_inner = f.indices[keep]
+        self.o_nbr_gid_inner = nbr_gid[keep]
+        lens = np.bincount(o_src, minlength=f.ivnum)
+        self.o_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    def _count_triangles(self, msgs):
+        f = self.frag
+        # unified oriented adjacency over local ids (inner own, outer received)
+        # local id lookup for arbitrary gids
+        all_gids = f.all_gids()
+        sort_idx = np.argsort(all_gids, kind="stable")
+        sorted_all = all_gids[sort_idx]
+
+        def to_local(gids):
+            i = np.searchsorted(sorted_all, gids)
+            i = np.minimum(i, len(sorted_all) - 1)
+            found = sorted_all[i] == gids
+            return sort_idx[i], found
+
+        # build adjacency indptr over tvnum local ids
+        lens = np.zeros(f.tvnum, dtype=np.int64)
+        lens[: f.ivnum] = np.diff(self.o_indptr)
+        outer_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        for m in msgs:
+            u_gids, nbr_gids = m
+            u_local, _ = to_local(u_gids)
+            # group by u_local (u_gids arrive grouped per owner, repeat-encoded)
+            order = np.argsort(u_local, kind="stable")
+            ul, ng = u_local[order], nbr_gids[order]
+            uniq, starts = np.unique(ul, return_index=True)
+            counts = np.diff(np.append(starts, len(ul)))
+            lens[uniq] += counts
+            outer_chunks.append((ul, ng))
+        adj_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        adj_gids = np.empty(int(adj_indptr[-1]), dtype=np.int64)
+        # fill: cursor per local id (inner lists first, then received ones)
+        cursor = adj_indptr[:-1].copy()
+        if len(self.o_nbr_gid_inner):
+            inner_lens = np.diff(self.o_indptr)
+            n_inner_edges = len(self.o_nbr_gid_inner)
+            offs = np.arange(n_inner_edges, dtype=np.int64) - np.repeat(
+                self.o_indptr[:-1], inner_lens)
+            adj_gids[np.repeat(adj_indptr[: f.ivnum], inner_lens) + offs] = self.o_nbr_gid_inner
+            cursor[: f.ivnum] += inner_lens
+        for ul, ng in outer_chunks:
+            uniq, starts = np.unique(ul, return_index=True)
+            counts = np.diff(np.append(starts, len(ul)))
+            offs = np.arange(len(ul), dtype=np.int64) - np.repeat(starts, counts)
+            adj_gids[np.repeat(cursor[uniq], counts) + offs] = ng
+            cursor[uniq] += counts
+
+        # membership key set: (v_local, w_local) for every oriented inner edge
+        tv = f.tvnum
+        v_loc_edges = np.repeat(np.arange(f.ivnum, dtype=np.int64), np.diff(self.o_indptr))
+        key_set = np.sort(v_loc_edges * tv + self.o_nbr_local_inner)
+
+        # wedge expansion in chunks over oriented inner edges
+        u_locals = self.o_nbr_local_inner
+        u_wedge_lens = lens[u_locals]
+        cum = np.cumsum(u_wedge_lens)
+        tric = self.tricnt
+        start_edge = 0
+        while start_edge < len(u_locals):
+            # choose end so chunk wedge count <= _CHUNK_WEDGES
+            base = cum[start_edge - 1] if start_edge else 0
+            end_edge = int(np.searchsorted(cum, base + _CHUNK_WEDGES)) + 1
+            end_edge = min(end_edge, len(u_locals))
+            e_v = v_loc_edges[start_edge:end_edge]
+            e_u = u_locals[start_edge:end_edge]
+            w_g, lens_w = _gather_segments(adj_gids, adj_indptr, e_u)
+            if len(w_g):
+                v_rep = np.repeat(e_v, lens_w)
+                u_rep = np.repeat(e_u, lens_w)
+                w_local, found = to_local(w_g)
+                keys = v_rep * tv + w_local
+                if len(key_set):
+                    pos = np.minimum(np.searchsorted(key_set, keys), len(key_set) - 1)
+                    member = found & (key_set[pos] == keys)
+                else:
+                    member = np.zeros(len(keys), dtype=bool)
+                if member.any():
+                    hits = np.concatenate([v_rep[member], u_rep[member], w_local[member]])
+                    tric += np.bincount(hits, minlength=f.tvnum)
+            start_edge = end_edge
+
+    def output(self):
+        return {
+            "gid": self.frag.inner_gids(),
+            "tricnt": self.tricnt[: self.frag.ivnum],
+            "lcc": self.lcc,
+        }
+
+    def state_dict(self):
+        arrays = {"tricnt": self.tricnt, "deg_full": self.deg_full}
+        if self.stage >= 1:
+            arrays["o_nbr_local_inner"] = self.o_nbr_local_inner
+            arrays["o_nbr_gid_inner"] = self.o_nbr_gid_inner
+            arrays["o_indptr"] = self.o_indptr
+        if self.done:
+            arrays["lcc"] = self.lcc
+        return arrays, {"stage": self.stage, "done": bool(self.done)}
+
+    def load_state(self, arrays, scalars):
+        self.tricnt = arrays["tricnt"]
+        self.deg_full = arrays["deg_full"]
+        self.stage = int(scalars["stage"])
+        self.done = bool(scalars["done"])
+        if self.stage >= 1:
+            self.o_nbr_local_inner = arrays["o_nbr_local_inner"]
+            self.o_nbr_gid_inner = arrays["o_nbr_gid_inner"]
+            self.o_indptr = arrays["o_indptr"]
+        if self.done:
+            self.lcc = arrays["lcc"]

@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``list<float>``).
+
+- ``brute_topk``: exact cosine top-k.  The query matrix is broadcast
+  once (``ray.put``); each batch does one numpy matmul and emits only
+  its local top-k candidates (k rows per query per batch — the partial
+  top-k combiner), and a final tiny reduce picks the global top-k.
+  This is the baseline and the verification oracle.
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path:
+  candidates are restricted to probes' buckets, then re-ranked exactly.
+  Recall < 1 by design; parameters documented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["brute_topk", "lsh_topk"]
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return m / nrm
+
+
+def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
+               key: str = "vec_id", col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k per query (self excluded).  Returns
+    (query_id, neighbor_id, rank) with rank 1..k ordered by
+    (similarity desc, neighbor_id asc)."""
+    import ray
+
+    q_set = set(int(q) for q in query_ids)
+    q_vecs: dict[int, np.ndarray] = {}
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids = b.column(key).to_numpy(zero_copy_only=False)
+        hit = [i for i, v in enumerate(ids) if int(v) in q_set]
+        if hit:
+            m = _batch_matrix(b, col)
+            for i in hit:
+                q_vecs[int(ids[i])] = m[i]
+    qids = sorted(q_vecs)
+    Q = _normalize(np.stack([q_vecs[q] for q in qids]))
+    q_ref = ray.put(Q)
+
+    class PartialTopK:
+        def __init__(self):
+            self.Q = ray.get(q_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            M = _normalize(_batch_matrix(b, col))
+            sims = self.Q @ M.T  # (nq, nb)
+            nq, nb = sims.shape
+            kk = min(k + 1, nb)  # +1 to survive self-exclusion
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                cols = part[qi]
+                out_q.extend([qids[qi]] * len(cols))
+                out_n.extend(ids[cols].tolist())
+                out_s.extend(sims[qi, cols].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "sim": pa.array(out_s, pa.float64())})
+
+    cand = emb_ds.map_batches(PartialTopK, batch_format="pyarrow", batch_size=4096,
+                              concurrency=(1, 8)).to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = cand.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return pa.table({
+        "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+        "neighbor_id": pa.array(top["neighbor_id"].to_numpy(), pa.int64()),
+        "rank": pa.array(top["rank"].to_numpy(), pa.int64()),
+    })
+
+
+def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, n_planes: int = 12,
+             n_tables: int = 4, seed: int = 42,
+             key: str = "vec_id", col: str = "embedding") -> pa.Table:
+    """LSH-bucketed ANN: random hyperplane sign buckets per table;
+    candidates = union of the query's buckets, re-ranked exactly.
+    Same output schema as brute_topk (approximate recall)."""
+    import ray
+
+    first = next(iter(emb_ds.iter_batches(batch_format="pyarrow", batch_size=8)))
+    dim = _batch_matrix(first, col).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    p_ref = ray.put(planes)
+
+    q_set = set(int(q) for q in query_ids)
+    q_vecs: dict[int, np.ndarray] = {}
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        ids = b.column(key).to_numpy(zero_copy_only=False)
+        for i, v in enumerate(ids):
+            if int(v) in q_set:
+                q_vecs[int(v)] = _batch_matrix(b, col)[i]
+    qids = sorted(q_vecs)
+    Q = np.stack([q_vecs[q] for q in qids])
+    q_codes = {}
+    for t in range(n_tables):
+        q_codes[t] = ((Q @ planes[t].T) > 0).astype(np.uint8)
+    q_code_sets = [
+        {(t, tuple(q_codes[t][qi])) for t in range(n_tables)} for qi in range(len(qids))
+    ]
+    all_codes = set().union(*q_code_sets) if q_code_sets else set()
+    codes_ref = ray.put(all_codes)
+
+    class BucketFilter:
+        def __init__(self):
+            self.planes = ray.get(p_ref)
+            self.codes = ray.get(codes_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            M = _batch_matrix(b, col)
+            ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.zeros(len(ids), dtype=bool)
+            for t in range(self.planes.shape[0]):
+                codes = ((M @ self.planes[t].T) > 0).astype(np.uint8)
+                for i in range(len(ids)):
+                    if not keep[i] and (t, tuple(codes[i])) in self.codes:
+                        keep[i] = True
+            return b.filter(pa.array(keep))
+
+    cand_ds = emb_ds.map_batches(BucketFilter, batch_format="pyarrow", batch_size=4096,
+                                 concurrency=(1, 8))
+    return brute_topk(cand_ds.union(
+        emb_ds.map_batches(
+            lambda b: b.filter(pa.array(np.isin(b.column(key).to_numpy(zero_copy_only=False), list(q_set)))),
+            batch_format="pyarrow", batch_size=None)
+    ), query_ids, k, key, col)

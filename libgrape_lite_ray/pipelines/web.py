@@ -1,0 +1,55 @@
+"""Flagship web pipeline: pages parquet -> link extraction -> graph
+build -> analytics (the north_star shape: Common-Crawl-style corpus to
+hyperlink-graph scores).
+
+``pages_to_graph`` never carries the `html` column past extraction
+(project-early; html can be MBs/row) and runs the extractor as an
+actor-pool map_batches over zero-copy Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..extract import ExtractLinks
+from ..graph.build import GraphMeta, build_graph
+from ..graph.driver import GraphEngine
+
+__all__ = ["pages_to_graph", "run_web_analytics"]
+
+
+def pages_to_graph(pages_ds, work_dir: str, num_partitions: int,
+                   symmetrize: bool = False, concurrency=(1, 8),
+                   fingerprint: str = "") -> GraphMeta:
+    edges = pages_ds.map_batches(
+        ExtractLinks,
+        batch_format="pyarrow",
+        batch_size=512,  # html rows are wide — keep batches small
+        concurrency=concurrency,
+    )
+    return build_graph(
+        edges, work_dir, num_partitions,
+        directed=not symmetrize, symmetrize=symmetrize,
+        fingerprint=fingerprint,
+    )
+
+
+def run_web_analytics(pages_ds, work_dir: str, num_partitions: int = 4,
+                      pr_rounds: int = 10):
+    """pages -> {pagerank, wcc} result Datasets (gid space) + metas."""
+    meta_d = pages_to_graph(pages_ds, os.path.join(work_dir, "directed"), num_partitions)
+    eng = GraphEngine(meta_d)
+    pr_ds, pr_metrics = eng.run("pagerank", {"rounds": pr_rounds})
+    pr_tbl = pr_ds.to_pandas()
+    eng.shutdown()
+
+    meta_u = pages_to_graph(pages_ds, os.path.join(work_dir, "undirected"),
+                            num_partitions, symmetrize=True)
+    eng = GraphEngine(meta_u)
+    wcc_ds, wcc_metrics = eng.run("wcc")
+    wcc_tbl = wcc_ds.to_pandas()
+    eng.shutdown()
+    return {
+        "pagerank": (pr_tbl, meta_d, pr_metrics),
+        "wcc": (wcc_tbl, meta_u, wcc_metrics),
+    }

@@ -1,0 +1,147 @@
+"""Engine vs NumPy oracle on seeded topologies, across partition counts
+(the reference's golden-at-multiple-parallelism pattern,
+misc/app_tests.sh:227-233)."""
+
+import numpy as np
+import pytest
+
+from libgrape_lite_ray import fixtures
+from libgrape_lite_ray.graph import oracle
+from libgrape_lite_ray.graph.build import attach_oids, build_graph, edges_from_numpy
+from libgrape_lite_ray.graph.driver import GraphEngine
+
+
+def _result_by_gid(ds, col):
+    df = ds.to_pandas().sort_values("gid")
+    return df[col].to_numpy()
+
+
+def _build(tmp_work, src, dst, P, sub, **kw):
+    import os
+
+    ds = edges_from_numpy(src, dst)
+    return build_graph(ds, os.path.join(tmp_work, sub), P, **kw)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_wcc_two_components(ray_session, tmp_work, P):
+    src, dst = fixtures.er_components()
+    n = 100
+    meta = _build(tmp_work, src, dst, P, f"wcc{P}", symmetrize=True)
+    assert meta.num_vertices == n
+    eng = GraphEngine(meta)
+    ds, metrics = eng.run("wcc")
+    got = _result_by_gid(ds, "comp")
+    want = oracle.wcc(src, dst, n)
+    assert np.array_equal(got, want)
+    assert len(np.unique(got)) == 2
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_pagerank_zipf_directed(ray_session, tmp_work, P):
+    n = 300
+    src, dst = fixtures.zipf_graph(n=n, m=2500)
+    meta = _build(tmp_work, src, dst, P, f"pr{P}", directed=True)
+    eng = GraphEngine(meta)
+    ds, _ = eng.run("pagerank", {"rounds": 10, "damping": 0.85})
+    got = _result_by_gid(ds, "pagerank")
+    want = oracle.pagerank(src, dst, n, rounds=10)
+    assert np.allclose(got, want, rtol=0, atol=1e-9)
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_cdlp(ray_session, tmp_work, P):
+    src, dst = fixtures.er_components()
+    n = 100
+    meta = _build(tmp_work, src, dst, P, f"cdlp{P}", symmetrize=True)
+    eng = GraphEngine(meta)
+    ds, _ = eng.run("cdlp", {"rounds": 10})
+    got = _result_by_gid(ds, "label")
+    want = oracle.cdlp(src, dst, n, rounds=10)
+    assert np.array_equal(got, want)
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_lcc_triangles(ray_session, tmp_work, P):
+    src, dst = fixtures.cliques_and_bridges(5, 6)
+    n = 30
+    meta = _build(tmp_work, src, dst, P, f"lcc{P}", symmetrize=True)
+    eng = GraphEngine(meta)
+    ds, _ = eng.run("lcc")
+    df = ds.to_pandas().sort_values("gid")
+    tri_want, lcc_want = oracle.triangles_lcc(src, dst, n)
+    assert np.array_equal(df["tricnt"].to_numpy(), tri_want)
+    assert np.allclose(df["lcc"].to_numpy(), lcc_want, atol=1e-12)
+    assert int(df["tricnt"].sum()) // 3 == fixtures.expected_triangles(5, 6)
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_lcc_zipf(ray_session, tmp_work, P):
+    n = 200
+    src, dst = fixtures.zipf_graph(n=n, m=1500)
+    meta = _build(tmp_work, src, dst, P, f"lccz{P}", symmetrize=True)
+    eng = GraphEngine(meta)
+    ds, _ = eng.run("lcc")
+    df = ds.to_pandas().sort_values("gid")
+    tri_want, lcc_want = oracle.triangles_lcc(src, dst, n)
+    assert np.array_equal(df["tricnt"].to_numpy(), tri_want)
+    assert np.allclose(df["lcc"].to_numpy(), lcc_want, atol=1e-12)
+    eng.shutdown()
+
+
+def test_bfs_sssp(ray_session, tmp_work):
+    n = 300
+    src, dst = fixtures.zipf_graph(n=n, m=2000)
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.5, 3.0, size=len(src))
+    meta = _build(tmp_work, src, dst, 4, "bfs", directed=True)
+
+    eng = GraphEngine(meta)
+    ds, _ = eng.run("bfs", {"source": 0})
+    got = _result_by_gid(ds, "depth")
+    want = oracle.bfs(src, dst, n, source=0, directed=True)
+    assert np.array_equal(got, want)
+    eng.shutdown()
+
+    ds_w = edges_from_numpy(src, dst, w)
+    import os
+
+    meta_w = build_graph(ds_w, os.path.join(tmp_work, "sssp"), 4, directed=True, weight_col="w")
+    eng = GraphEngine(meta_w)
+    ds, _ = eng.run("sssp", {"source": 0})
+    got = _result_by_gid(ds, "dist")
+    want = oracle.sssp(src, dst, w, n, source=0, directed=True)
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.array_equal(np.isinf(got), np.isinf(want))
+    eng.shutdown()
+
+
+def test_string_oids_and_attach(ray_session, tmp_work):
+    """String-oid matrix (tests/vertex_map_tests.cc analog): WCC labels
+    on url-style ids == min-oid per component after re-attach."""
+    import pyarrow as pa
+    import ray.data as rd
+    import os
+
+    src, dst = fixtures.er_components()
+    s = pa.array([f"https://v{i:04d}.example/" for i in src], pa.string())
+    d = pa.array([f"https://v{i:04d}.example/" for i in dst], pa.string())
+    ds = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    meta = build_graph(ds, os.path.join(tmp_work, "str"), 3, symmetrize=True)
+    eng = GraphEngine(meta)
+    out, _ = eng.run("wcc")
+    tbl = pa.concat_tables([b for b in out.iter_batches(batch_format="pyarrow", batch_size=10**6)])
+    tbl = attach_oids(tbl, meta)
+    df = tbl.to_pandas()
+    want = oracle.wcc(src, dst, 100)
+    by_gid = df.sort_values("gid")
+    assert np.array_equal(by_gid["comp"].to_numpy(), want)
+    # zero-padded ids sort like ints, so min-oid == oid of min-gid
+    comp_oid = np.array([f"https://v{i:04d}.example/" for i in want])
+    got_comp_oid = np.array([f"https://v{i:04d}.example/" for i in by_gid["comp"].to_numpy()])
+    assert np.array_equal(got_comp_oid, comp_oid)
+    eng.shutdown()

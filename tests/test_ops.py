@@ -1,0 +1,134 @@
+"""Dataset-level ops: dedup, text, ANN, windows, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts, ids=None):
+    import ray.data as rd
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts, pa.string())}))
+
+
+def test_exact_dedup(ray_session):
+    from libgrape_lite_ray.ops.dedup import exact_dedup
+
+    ds = _docs_ds(["aa bb", "cc dd", "aa bb", "ee", "cc dd"], [10, 11, 12, 13, 14])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [10, 11, 13]
+
+
+def test_minhash_finds_near_dupes(ray_session):
+    from libgrape_lite_ray.ops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("field", "meadow")
+    far = "completely different content about graph engines and arrow batches"
+    ds = _docs_ds([base, near, far, base], [1, 2, 3, 4])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (1, 4) in got  # identical
+    assert (1, 2) in got or (2, 4) in got  # near-dup
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_pairs(ray_session):
+    from libgrape_lite_ray.ops.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = _docs_ds([base, base, "unrelated words entirely distinct tokens"], [1, 2, 3])
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (1, 2) in got  # exact duplicate -> hamming 0, always blocked together
+    assert all(3 not in p for p in got)
+
+
+def test_lang_id(ray_session):
+    from libgrape_lite_ray.ops.text import lang_id
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat and the hat is in it",
+            "der hund und das haus ist nicht mit",
+            "le chat et un chien est pas que pour",
+        ]),
+    })
+    out = lang_id(t).to_pydict()
+    assert out["pred_lang"] == ["en", "de", "fr"]
+
+
+def test_ann_brute_topk(ray_session):
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.ann import brute_topk, lsh_topk
+
+    rng = np.random.default_rng(0)
+    n, d = 200, 16
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    M[5] = M[0] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near-dup of 0
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(M.tolist(), pa.list_(pa.float32())),
+    }))
+    top = brute_topk(ds, [0], k=5).to_pandas()
+    assert top.iloc[0]["neighbor_id"] == 5  # nearest neighbor found
+    assert list(top["rank"]) == [1, 2, 3, 4, 5]
+
+    # exact-vs-numpy oracle
+    Mn = M.astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    sims = Mn @ Mn[0]
+    sims[0] = -2
+    want = np.argsort(-sims, kind="stable")[:5]
+    assert top["neighbor_id"].tolist() == want.tolist()
+
+    # LSH path returns plausible approximate results incl. the near-dup
+    approx = lsh_topk(ds, [0], k=5, n_planes=6, n_tables=6).to_pandas()
+    assert 5 in approx["neighbor_id"].tolist()
+
+
+def test_windows(ray_session):
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.window import hourly_rollup, sessionize
+
+    ts = pa.array([0, 10 * 60_000_000, 2 * 3_600_000_000, 2 * 3_600_000_000 + 1],
+                  pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }))
+    hourly = hourly_rollup(ev).to_pandas().sort_values(["user_id", "hour_start_us"])
+    assert hourly["n_events"].tolist() == [2, 1, 1]
+    sess = sessionize(ev).to_pandas().sort_values(["user_id", "session_id"])
+    # user 1: events at 0 and 10min (one session), then 2h (new session)
+    assert sess[sess.user_id == 1]["n_events"].tolist() == [2, 1]
+    assert sess[sess.user_id == 2]["n_events"].tolist() == [1]
+
+
+def test_multimodal_decode(ray_session):
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.multimodal import DecodeImage, ExtractImageFeatures, fake_image_bytes
+
+    t = pa.table({
+        "key": pa.array([1, 2, 3], pa.int64()),
+        "image": pa.array([fake_image_bytes(s) for s in (1, 2, 3)], pa.binary()),
+    })
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=2,
+                         concurrency=1).to_pandas().sort_values("key")
+    assert out["width"].tolist() == [32, 32, 32]
+    assert (out["mean_pixel"] > 0).all()
+    # deterministic across runs
+    out2 = ds.map_batches(DecodeImage, batch_format="pyarrow", batch_size=3,
+                          concurrency=1).to_pandas().sort_values("key")
+    assert out["mean_pixel"].tolist() == out2["mean_pixel"].tolist()
+    feats = ds.map_batches(ExtractImageFeatures, batch_format="pyarrow",
+                           batch_size=2, concurrency=1).to_pandas()
+    assert len(feats) == 3 and len(feats.iloc[0]["feature"]) == 8
