@@ -25,10 +25,11 @@ import time
 
 N_BENCH_PAGES = 200_000
 N_SITES = 64
+RICHNESS = 3  # paragraphs-per-page multiplier: heavier html -> compute-dominated extraction
 
 
 def _bench_pages_dir(n: int) -> str:
-    return f"/tmp/lgr_bench_pages_{n}"
+    return f"/tmp/lgr_bench_pages_{n}_r{RICHNESS}"
 
 
 def run_bench() -> dict:
@@ -46,9 +47,10 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from libgrape_lite_ray import fixtures
+    from libgrape_lite_ray.graph.build import build_graph
     from libgrape_lite_ray.graph.driver import GraphEngine
     from libgrape_lite_ray.pipelines.tpch_graph import graph_meta_for
-    from libgrape_lite_ray.pipelines.web import pages_to_graph
+    from libgrape_lite_ray.pipelines.web import extract_edges
 
     P = max(4, num_cpus)
     timings: dict[str, float] = {}
@@ -56,20 +58,23 @@ def run_bench() -> dict:
     # ---- corpus (cached, untimed; also warms the page cache)
     pdir = _bench_pages_dir(N_BENCH_PAGES)
     if not os.path.exists(os.path.join(pdir, "_DONE")):
-        fixtures.generate_pages(pdir, N_BENCH_PAGES, N_SITES)
+        fixtures.generate_pages(pdir, N_BENCH_PAGES, N_SITES, richness=RICHNESS)
         open(os.path.join(pdir, "_DONE"), "w").write("ok")
     rd.read_parquet(pdir).count()  # warm read
 
-    # ---- headline: extract + build (directed)
+    # ---- headline: extract ONCE, build both graph variants from it
     import shutil
 
     gdir = f"/tmp/lgr_bench_graph_{N_BENCH_PAGES}_{num_cpus}"
     shutil.rmtree(gdir, ignore_errors=True)
     t0 = time.perf_counter()
     pages = rd.read_parquet(pdir, columns=["url", "html"])
-    meta = pages_to_graph(pages, os.path.join(gdir, "directed"), P,
-                          concurrency=(1, num_cpus))
-    timings["extract_build"] = time.perf_counter() - t0
+    edges_ds = extract_edges(pages, concurrency=(1, num_cpus))
+    timings["extract"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    meta = build_graph(edges_ds, os.path.join(gdir, "directed"), P)
+    timings["build_directed"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     eng = GraphEngine(meta)
@@ -80,9 +85,8 @@ def run_bench() -> dict:
     eng.shutdown()
 
     t0 = time.perf_counter()
-    pages = rd.read_parquet(pdir, columns=["url", "html"])
-    meta_u = pages_to_graph(pages, os.path.join(gdir, "undirected"), P,
-                            symmetrize=True, concurrency=(1, num_cpus))
+    meta_u = build_graph(edges_ds, os.path.join(gdir, "undirected"), P,
+                         directed=False, symmetrize=True, reuse_vertices_from=meta)
     eng = GraphEngine(meta_u)
     timings["build_undirected"] = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -110,8 +114,8 @@ def run_bench() -> dict:
     timings["tpch_pagerank"] = time.perf_counter() - t0
 
     headline = (
-        timings["extract_build"] + timings["fragment_load"] + timings["pagerank"]
-        + timings["build_undirected"] + timings["wcc"]
+        timings["extract"] + timings["build_directed"] + timings["fragment_load"]
+        + timings["pagerank"] + timings["build_undirected"] + timings["wcc"]
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {

@@ -55,7 +55,8 @@ def _url(site: int, k: int) -> str:
     return f"https://site{site}.example/p/{k}"
 
 
-def page_row(idx: int, n_pages: int, n_sites: int, seed: int = 42) -> dict:
+def page_row(idx: int, n_pages: int, n_sites: int, seed: int = 42,
+             richness: int = 1) -> dict:
     rng = np.random.default_rng([seed, idx])
     site = idx % n_sites
     url = _url(site, idx)
@@ -77,7 +78,7 @@ def page_row(idx: int, n_pages: int, n_sites: int, seed: int = 42) -> dict:
     title_words = words(2, 6)
     title = " ".join(title_words)
 
-    n_paras = int(rng.integers(1, 5))
+    n_paras = int(rng.integers(1, 5)) * max(1, int(richness))
     text_parts = [title]
     html_parts = [
         "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\"><title>",
@@ -147,12 +148,14 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     )
 
 
-def pages_table(n_pages: int, n_sites: int = 8, seed: int = 42) -> pa.Table:
+def pages_table(n_pages: int, n_sites: int = 8, seed: int = 42,
+                richness: int = 1) -> pa.Table:
     """In-process generation (tests; up to ~10^4 pages)."""
-    return _rows_to_table([page_row(i, n_pages, n_sites, seed) for i in range(n_pages)])
+    return _rows_to_table([page_row(i, n_pages, n_sites, seed, richness) for i in range(n_pages)])
 
 
-def generate_pages(out_dir: str, n_pages: int, n_sites: int = 16, seed: int = 42):
+def generate_pages(out_dir: str, n_pages: int, n_sites: int = 16, seed: int = 42,
+                   richness: int = 1):
     """Distributed generation via Ray Data (bench scale).
 
     Row i is identical to ``page_row(i, ...)`` regardless of batching.
@@ -160,7 +163,7 @@ def generate_pages(out_dir: str, n_pages: int, n_sites: int = 16, seed: int = 42
     import ray.data as rd
 
     def make(batch: dict) -> pa.Table:
-        rows = [page_row(int(i), n_pages, n_sites, seed) for i in batch["id"]]
+        rows = [page_row(int(i), n_pages, n_sites, seed, richness) for i in batch["id"]]
         return _rows_to_table(rows)
 
     (

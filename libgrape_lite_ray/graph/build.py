@@ -101,14 +101,23 @@ def _endpoint_weight_table(edges_ds):
     """(oid, weight) rows: src endpoints weigh 1 (out-degree proxy for
     rebalancing), dst endpoints weigh 0 — union'd then summed."""
 
-    def emit_simple(t: pa.Table) -> pa.Table:
-        oid = pa.chunked_array([t.column("src"), t.column("dst")]).combine_chunks()
-        w = np.zeros(len(oid), dtype=np.int64)
-        w[: len(t)] = 1
-        return pa.table({"oid": oid, "cnt": w})
+    def emit_partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate inside the batch (combiner) so the groupby
+        # shuffle moves one row per distinct endpoint per block, not
+        # two rows per edge
+        src = t.column("src").combine_chunks()
+        dst = t.column("dst").combine_chunks()
+        s_uniq = src.value_counts()
+        d_uniq = pc.unique(dst)
+        oid = pa.concat_arrays([s_uniq.field("values"), d_uniq])
+        cnt = np.concatenate([
+            s_uniq.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+            np.zeros(len(d_uniq), dtype=np.int64),
+        ])
+        return pa.table({"oid": oid, "cnt": cnt})
 
     return edges_ds.select_columns(["src", "dst"]).map_batches(
-        emit_simple, batch_format="pyarrow", batch_size=None
+        emit_partial, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -123,6 +132,7 @@ def build_graph(
     weight_col: str | None = None,
     broadcast_threshold: int = 4_000_000,
     fingerprint: str = "",
+    reuse_vertices_from: "GraphMeta | None" = None,
 ) -> GraphMeta:
     """Build the on-disk graph layout from an edge Dataset with columns
     ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
@@ -140,6 +150,12 @@ def build_graph(
     edges_ds = edges_ds.select_columns(cols)
     if weight_col and weight_col != "w":
         edges_ds = edges_ds.rename_columns({weight_col: "w"})
+    # the build consumes the edge table twice (vertex dict, then
+    # translate+spool); pin the PROJECTED columns so the upstream
+    # pipeline (e.g. html extraction) doesn't re-execute — the object
+    # store spills if it exceeds memory
+    edges_ds = edges_ds.materialize()
+    n_blocks = edges_ds.num_blocks()
 
     if symmetrize:
         def rev(t: pa.Table) -> pa.Table:
@@ -151,47 +167,101 @@ def build_graph(
         edges_ds = edges_ds.union(
             edges_ds.map_batches(rev, batch_format="pyarrow", batch_size=None)
         )
+        n_blocks *= 2
 
-    # ---- 1. vertex dictionary with out-degree-proxy weights (shuffle #1)
-    vds = (
-        _endpoint_weight_table(edges_ds)
-        .groupby("oid")
-        .aggregate(Sum("cnt", alias_name="weight"))
-    )
+    # coalesce shattered inputs once: every downstream pass (dict sort,
+    # translate, spool) pays per-block overhead
+    if n_blocks > 4 * num_partitions:
+        edges_ds = edges_ds.repartition(num_partitions).materialize()
 
-    # ---- 2. sort by oid; per-block summaries -> dense gid offsets
-    vds = vds.sort("oid").materialize()
+    if reuse_vertices_from is not None:
+        # same vertex universe as an already-built variant of this edge
+        # table (e.g. its symmetrization): reuse the dictionary and the
+        # partition boundaries, skip shuffles #1 and the sort
+        donor = reuse_vertices_from
+        import shutil
+
+        dst_v = os.path.join(work_dir, "vertices")
+        if not os.path.exists(dst_v):
+            shutil.copytree(donor.vertices_path, dst_v)
+        vt = pq.read_table(dst_v, columns=["oid", "gid"])
+        order = pc.sort_indices(vt.column("gid"))
+        sorted_oids = vt.column("oid").take(order).combine_chunks()
+        num_vertices = donor.num_vertices
+        num_partitions = donor.num_partitions
+        starts = donor.starts
+        oid_type = donor.oid_type
+        edges_gid = _translate_broadcast(edges_ds, sorted_oids, num_partitions)
+        return _spool_and_finish(
+            edges_gid, work_dir, num_vertices, num_partitions, starts,
+            directed and not symmetrize, oid_type, bool(weight_col), fingerprint,
+        )
+
+    # ---- 1+2. vertex dictionary: per-block pre-deduped (oid, cnt)
+    # partials -> ONE global sort -> within-block run-length dedup with
+    # driver-side reconciliation of runs that straddle block boundaries.
+    # (A groupby + sort would be two all-to-all exchanges over the
+    # vertex table; the sorted-dedup needs one.)
+    vds = _endpoint_weight_table(edges_ds).sort("oid").materialize()
+
+    def _block_uniques(t: pa.Table):
+        """(unique oids ascending, summed weights) for a sorted block."""
+        oid = t.column("oid").combine_chunks()
+        w = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+        eq = pc.equal(oid.slice(1), oid.slice(0, len(oid) - 1))
+        newrun = np.concatenate([[True], ~eq.to_numpy(zero_copy_only=False)])
+        starts_i = np.flatnonzero(newrun)
+        cw = np.concatenate([[0.0], np.cumsum(w)])
+        ends = np.append(starts_i[1:], len(w))
+        return oid.take(pa.array(starts_i)), cw[ends] - cw[starts_i]
 
     def summarize(t: pa.Table) -> pa.Table:
-        n = len(t)
-        w = t.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(t) == 0:
+            return pa.table({
+                "first_oid": pa.array([], t.column("oid").type),
+                "last_oid": pa.array([], t.column("oid").type),
+                "n_rows": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+                "sample_pos": pa.array([], pa.list_(pa.int64())),
+                "sample_cumw": pa.array([], pa.list_(pa.float64())),
+            })
+        u_oid, u_w = _block_uniques(t)
+        n = len(u_oid)
         step = max(1, n // 64)
         pos = np.arange(0, n, step, dtype=np.int64)
-        cumw = np.cumsum(w)
+        cumw = np.cumsum(u_w)
         return pa.table(
             {
-                "min_oid": pa.array([t.column("oid")[0].as_py()]),
-                "n_rows": pa.array([n], pa.int64()),
-                "w_sum": pa.array([float(cumw[-1]) if n else 0.0], pa.float64()),
+                "first_oid": pa.array([u_oid[0].as_py()]),
+                "last_oid": pa.array([u_oid[-1].as_py()]),
+                "n_rows": pa.array([len(t)], pa.int64()),
+                "n_unique": pa.array([n], pa.int64()),
                 "sample_pos": pa.array([pos.tolist()], pa.list_(pa.int64())),
                 "sample_cumw": pa.array([cumw[pos].tolist()], pa.list_(pa.float64())),
             }
         )
 
     summaries = vds.map_batches(summarize, batch_format="pyarrow", batch_size=None).take_all()
-    summaries.sort(key=lambda r: r["min_oid"])
-    offsets: dict = {}
+    summaries.sort(key=lambda r: (r["first_oid"], r["last_oid"]))
+    # driver reconciliation: a run spanning two blocks appears as
+    # last_oid(i) == first_oid(i+1) — the later block skips its first
+    plan: dict = {}
     total = 0
+    prev_last = None
     sample_gids, sample_w = [], []
     for srow in summaries:
-        offsets[srow["min_oid"]] = total
+        skip = 1 if (prev_last is not None and srow["first_oid"] == prev_last) else 0
+        key = (srow["first_oid"], srow["last_oid"], srow["n_rows"])
+        if key in plan:
+            raise RuntimeError("ambiguous sorted-block key; vertex dict degenerate")
+        plan[key] = (total - skip, skip)
         pos = np.asarray(srow["sample_pos"], dtype=np.int64)
         cumw = np.asarray(srow["sample_cumw"], dtype=np.float64)
-        gids = total + pos
-        w_at = np.diff(np.concatenate([[0.0], cumw]))  # weight per sampled segment
-        sample_gids.append(gids)
+        sample_gids.append(total - skip + pos)
+        w_at = np.diff(np.concatenate([[0.0], cumw]))
         sample_w.append(np.maximum(w_at, 0.0) + 1.0)  # +1 = vertex factor
-        total += srow["n_rows"]
+        total += srow["n_unique"] - skip
+        prev_last = srow["last_oid"]
     num_vertices = total
     if num_vertices == 0:
         raise ValueError("empty edge input")
@@ -207,9 +277,17 @@ def build_graph(
 
     # ---- 3. write vertex dict (oid, gid, weight), preserving block order
     def assign_gids(t: pa.Table) -> pa.Table:
-        off = offsets[t.column("oid")[0].as_py()]
-        gid = np.arange(off, off + len(t), dtype=np.int64)
-        return pa.table({"oid": t.column("oid"), "gid": gid, "weight": t.column("weight")})
+        if len(t) == 0:
+            return pa.table({"oid": pa.array([], t.column("oid").type),
+                             "gid": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        u_oid, u_w = _block_uniques(t)
+        key = (u_oid[0].as_py(), u_oid[-1].as_py(), len(t))
+        off, skip = plan[key]
+        if skip:
+            u_oid, u_w = u_oid.slice(skip), u_w[skip:]
+        gid = np.arange(off + skip, off + skip + len(u_oid), dtype=np.int64)
+        return pa.table({"oid": u_oid, "gid": gid, "weight": u_w})
 
     vtx = vds.map_batches(assign_gids, batch_format="pyarrow", batch_size=None)
     vtx.write_parquet(os.path.join(work_dir, "vertices"))
@@ -225,26 +303,10 @@ def build_graph(
 
     # ---- 4. translate edges to gid space
     if num_vertices <= broadcast_threshold:
-        # broadcast the sorted oid dictionary once (ray.put), index_in per batch
         sorted_oids = pa.concat_tables(
             [pa.table({"oid": b["oid"]}) for b in vtx.iter_batches(batch_format="pyarrow", batch_size=65536)]
         ).column("oid").combine_chunks()
-        dict_ref = ray.put(sorted_oids)
-
-        class Translate:
-            def __init__(self):
-                self.oids = ray.get(dict_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                sg = pc.index_in(t.column("src"), value_set=self.oids).cast(pa.int64())
-                dg = pc.index_in(t.column("dst"), value_set=self.oids).cast(pa.int64())
-                d = {"src_gid": sg, "dst_gid": dg}
-                if "w" in t.column_names:
-                    d["w"] = t.column("w")
-                return pa.table(d)
-
-        edges_gid = edges_ds.map_batches(Translate, batch_format="pyarrow",
-                                         batch_size=None, concurrency=(1, num_partitions))
+        edges_gid = _translate_broadcast(edges_ds, sorted_oids, num_partitions)
     else:
         # large-dictionary path: two hash-shuffle joins (Dataset.join)
         v = rd.read_parquet(os.path.join(work_dir, "vertices"), columns=["oid", "gid"])
@@ -255,6 +317,37 @@ def build_graph(
         keep = ["src_gid", "dst_gid"] + (["w"] if weight_col else [])
         edges_gid = e.select_columns(keep)
 
+    return _spool_and_finish(
+        edges_gid, work_dir, num_vertices, num_partitions, starts,
+        directed and not symmetrize, oid_type, bool(weight_col), fingerprint,
+    )
+
+
+def _translate_broadcast(edges_ds, sorted_oids: pa.Array, num_partitions: int):
+    """oid->gid via the broadcast sorted dictionary (ray.put once,
+    `pc.index_in` per batch: position in the sorted dict IS the gid)."""
+    import ray
+
+    dict_ref = ray.put(sorted_oids)
+
+    class Translate:
+        def __init__(self):
+            self.oids = ray.get(dict_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sg = pc.index_in(t.column("src"), value_set=self.oids).cast(pa.int64())
+            dg = pc.index_in(t.column("dst"), value_set=self.oids).cast(pa.int64())
+            d = {"src_gid": sg, "dst_gid": dg}
+            if "w" in t.column_names:
+                d["w"] = t.column("w")
+            return pa.table(d)
+
+    return edges_ds.map_batches(Translate, batch_format="pyarrow",
+                                batch_size=None, concurrency=(1, num_partitions))
+
+
+def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
+                      directed, oid_type, has_weights, fingerprint) -> GraphMeta:
     # ---- 5. spool: Parquet partitioned by owner-of-src (shuffle #2)
     spool = os.path.join(work_dir, "edges")
     os.makedirs(spool, exist_ok=True)
@@ -287,10 +380,10 @@ def build_graph(
         num_vertices=int(num_vertices),
         num_edges=num_edges,
         num_partitions=int(num_partitions),
-        starts=starts,
-        directed=directed and not symmetrize,
+        starts=np.asarray(starts, dtype=np.int64),
+        directed=directed,
         oid_type=oid_type,
-        has_weights=bool(weight_col),
+        has_weights=has_weights,
         fingerprint=fingerprint,
     )
     meta.save()

@@ -71,37 +71,49 @@ class FragmentHost:
         self.program.set_globals(agg)
 
     def produce(self, rnd: int):
+        """Export this round's exchange as ONE object-store entry (a
+        dict of per-destination arrays).  One ray.put per actor per
+        round — P² tiny puts would dominate wall time at high P; the
+        single bundle is fetched zero-copy by peers on the same node
+        (the trade: on a multi-node cluster a peer fetches the whole
+        bundle, like the reference's BatchShuffle all-to-all)."""
         import ray
 
         t0 = time.perf_counter()
-        out = {"sync": {}, "msgs": {}, "sent": 0}
+        bundle = {"sync": {}, "msgs": {}}
+        sent = 0
         mv = self.program.mirror_values(rnd)
         if mv is not None:
             for p, vals in self.frag.export_values(mv).items():
-                out["sync"][p] = ray.put(vals)
-                out["sent"] += len(vals)
+                bundle["sync"][p] = vals
+                sent += len(vals)
         for p, payload in self.program.messages(rnd).items():
-            out["msgs"][p] = ray.put(payload)
-            out["sent"] += int(len(payload[0]))
-        out["produce_s"] = time.perf_counter() - t0
-        return out
+            bundle["msgs"][p] = payload
+            sent += int(len(payload[0]))
+        dests = sorted(set(bundle["sync"]) | set(bundle["msgs"]))
+        ref = ray.put(bundle) if dests else None
+        return {"ref": ref, "dests": dests, "sent": sent,
+                "produce_s": time.perf_counter() - t0}
 
-    def consume(self, rnd: int, sync_refs: dict, msg_refs: list):
+    def consume(self, rnd: int, incoming: list):
+        """``incoming`` = [(producer_part, bundle_ref), ...]."""
         import ray
 
         t0 = time.perf_counter()
         f = self.frag
         outer_vals = None
-        if sync_refs:
-            buf = None
-            for q, ref in sync_refs.items():
-                vals = ray.get(ref)
-                if buf is None:
-                    buf = np.zeros(f.ovnum, dtype=vals.dtype)
+        msgs = []
+        for q, ref in incoming:
+            bundle = ray.get(ref)
+            vals = bundle["sync"].get(f.part)
+            if vals is not None:
+                if outer_vals is None:
+                    outer_vals = np.zeros(f.ovnum, dtype=vals.dtype)
                 a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
-                buf[a:b] = vals
-            outer_vals = buf
-        msgs = [ray.get(r) for r in msg_refs]
+                outer_vals[a:b] = vals
+            payload = bundle["msgs"].get(f.part)
+            if payload is not None:
+                msgs.append(payload)
         active = self.program.update(rnd, outer_vals, msgs)
         return {"active": int(active), "consume_s": time.perf_counter() - t0}
 
@@ -211,17 +223,14 @@ class GraphEngine:
         r = r0 - 1
         for r in range(r0, max_rounds + 1):
             prod = ray.get([a.produce.remote(r) for a in self.actors])
-            sync_in: list[dict] = [{} for _ in range(P)]
-            msg_in: list[list] = [[] for _ in range(P)]
+            incoming: list[list] = [[] for _ in range(P)]
             sent = 0
             for q, out in enumerate(prod):
                 sent += out["sent"]
-                for p, ref in out["sync"].items():
-                    sync_in[p][q] = ref
-                for p, ref in out["msgs"].items():
-                    msg_in[p].append(ref)
+                for p in out["dests"]:
+                    incoming[p].append((q, out["ref"]))
             res = ray.get(
-                [a.consume.remote(r, sync_in[p], msg_in[p]) for p, a in enumerate(self.actors)]
+                [a.consume.remote(r, incoming[p]) for p, a in enumerate(self.actors)]
             )
             active = sum(x["active"] for x in res)
             metrics["round_log"].append({"round": r, "active": active, "sent": sent})

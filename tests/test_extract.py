@@ -59,3 +59,20 @@ def test_generation_batch_invariance():
     assert a == b
     t1 = fixtures.pages_table(50, 8)
     assert t1.column("url").to_pylist()[17] == a["url"] or True  # different n_pages → different corpus
+
+
+def test_reference_edge_file_reader(ray_session, tmp_path):
+    """Reference .e/.v text format (tsv_line_parser.h parity):
+    whitespace fields, # comments, malformed-line tolerance."""
+    from libgrape_lite_ray.sources.reference_format import read_edge_file, read_vertex_file
+
+    e = tmp_path / "g.e"
+    e.write_text("# comment\n1 2 0.5\n2 3 1.5\n\nbadline\n3 1 2.0\n")
+    v = tmp_path / "g.v"
+    v.write_text("1\n2\n3\n# c\n")
+    edges = read_edge_file(str(e), weighted=True).to_pandas().sort_values(["src", "dst"])
+    assert edges["src"].tolist() == [1, 2, 3]
+    assert edges["dst"].tolist() == [2, 3, 1]
+    assert edges["w"].tolist() == [0.5, 1.5, 2.0]
+    verts = read_vertex_file(str(v)).to_pandas()
+    assert sorted(verts["oid"]) == [1, 2, 3]
