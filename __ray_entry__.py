@@ -196,6 +196,49 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 WHERE rank <= 10 ORDER BY query_id, rank
 """
 
+_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 1),
+                             j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])
+    END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+mh AS (
+  SELECT doc_id, r.i AS i, MIN(md5(r.i::VARCHAR || '|' || s)) AS h
+  FROM ex CROSS JOIN range(12) r(i) GROUP BY doc_id, r.i
+),
+sig AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM mh GROUP BY doc_id),
+bandsx AS (
+  SELECT doc_id, r.i AS b,
+         md5(array_to_string(hs[r.i*3+1 : r.i*3+3], '|')) AS bh
+  FROM sig CROSS JOIN range(4) r(i)
+),
+capped AS (
+  SELECT doc_id, b, bh FROM bandsx
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY b, bh ORDER BY doc_id) <= 64
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM capped x JOIN capped y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+jac AS (
+  SELECT p.a, p.b,
+         CASE WHEN len(list_distinct(sa.ss || sb.ss)) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.ss, sb.ss))::DOUBLE
+                   / len(list_distinct(sa.ss || sb.ss)) END AS j
+  FROM pairs p JOIN shs sa ON p.a = sa.doc_id JOIN shs sb ON p.b = sb.doc_id
+)
+SELECT a, b, ROUND(j, 8) AS jaccard FROM jac WHERE j >= 0.7 ORDER BY a, b
+"""
+
 _OUT_DEGREE_SQL = f"WITH {_E} SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree FROM E GROUP BY src ORDER BY src"
 _EDGES_SQL = f"WITH {_E} SELECT src, dst FROM E ORDER BY src, dst"
 
@@ -453,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _HOURLY_SQL,
         "sessionize": _SESSION_SQL,
         "ann_topk": _ANN_SQL,
-        # minhash_pairs / simhash / image_decode: hash-signature &
-        # stub-decode ops -> rows-only checks
+        "minhash_pairs": _MINHASH_SQL,
+        # simhash / image_decode / sssp: bit-twiddling signature,
+        # stub decode, and weighted-shortest-path -> rows-only checks
     }

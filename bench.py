@@ -23,8 +23,9 @@ import subprocess
 import sys
 import time
 
-N_BENCH_PAGES = 200_000
-N_SITES = 64
+N_BENCH_PAGES = 1_500_000
+N_SITES = 128
+ENGINE_V, ENGINE_E = 4_000_000, 100_000_000  # superstep-throughput graph
 RICHNESS = 3  # paragraphs-per-page multiplier: heavier html -> compute-dominated extraction
 
 
@@ -52,7 +53,11 @@ def run_bench() -> dict:
     from libgrape_lite_ray.pipelines.tpch_graph import graph_meta_for
     from libgrape_lite_ray.pipelines.web import extract_edges
 
-    P = max(4, num_cpus)
+    # FIXED partition count across parallelism levels (the cluster-size
+    # criterion compares N vs 4N workers over the SAME sharded job);
+    # per-actor CPU shares scale with the level instead
+    P = 32
+    cpus_per_actor = max(0.1, round(0.8 * num_cpus / P, 2))
     timings: dict[str, float] = {}
 
     # ---- corpus (cached, untimed; also warms the page cache)
@@ -69,7 +74,7 @@ def run_bench() -> dict:
     shutil.rmtree(gdir, ignore_errors=True)
     t0 = time.perf_counter()
     pages = rd.read_parquet(pdir, columns=["url", "html"])
-    edges_ds = extract_edges(pages, concurrency=(1, num_cpus))
+    edges_ds = extract_edges(pages)  # stateless task parallelism
     timings["extract"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -77,18 +82,19 @@ def run_bench() -> dict:
     timings["build_directed"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    eng = GraphEngine(meta)
+    eng = GraphEngine(meta, num_cpus_per_actor=cpus_per_actor)
     timings["fragment_load"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     _, pr_m = eng.run("pagerank", {"rounds": 10})
     timings["pagerank"] = time.perf_counter() - t0
-    eng.shutdown()
 
     t0 = time.perf_counter()
     meta_u = build_graph(edges_ds, os.path.join(gdir, "undirected"), P,
                          directed=False, symmetrize=True, reuse_vertices_from=meta)
-    eng = GraphEngine(meta_u)
     timings["build_undirected"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eng = GraphEngine(meta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng)  # warm pool
+    timings["fragment_load_u"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     _, wcc_m = eng.run("wcc")
     timings["wcc"] = time.perf_counter() - t0
@@ -105,6 +111,32 @@ def run_bench() -> dict:
     timings["pagerank_supersteps_per_s"] = round(pr_m["supersteps_per_s"], 3)
     timings["wcc_rounds"] = wcc_m["rounds"]
 
+    # ---- superstep-throughput measurement: engine-scale gid graph
+    # (cached; the scaling criterion is supersteps/sec + edges/sec on a
+    # graph big enough that per-round compute dominates dispatch)
+    egdir = f"/tmp/lgr_engine_graph_{ENGINE_V}_{ENGINE_E}"
+    import json as _json
+    if not os.path.exists(os.path.join(egdir, "directed", "graph_meta.json")):
+        eg = fixtures.big_engine_edges(ENGINE_V, ENGINE_E)
+        emeta = build_graph(eg, os.path.join(egdir, "directed"), P)
+        build_graph(None, os.path.join(egdir, "undirected"), P,
+                    directed=False, symmetrize=True, reuse_vertices_from=emeta)
+    from libgrape_lite_ray.graph.build import GraphMeta
+    emeta = GraphMeta.load(os.path.join(egdir, "directed"))
+    emeta_u = GraphMeta.load(os.path.join(egdir, "undirected"))
+    eng = GraphEngine(emeta, num_cpus_per_actor=cpus_per_actor)
+    t0 = time.perf_counter()
+    _, epr = eng.run("pagerank", {"rounds": 10})
+    timings["engine_pagerank"] = time.perf_counter() - t0
+    timings["engine_pr_edges_per_s"] = round(emeta.num_edges * 10 / timings["engine_pagerank"], 1)
+    timings["engine_pr_supersteps_per_s"] = round(epr["supersteps_per_s"], 3)
+    eng = GraphEngine(emeta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng)
+    t0 = time.perf_counter()
+    _, ewc = eng.run("wcc")
+    timings["engine_wcc"] = time.perf_counter() - t0
+    timings["engine_wcc_rounds"] = ewc["rounds"]
+    eng.shutdown()
+
     # ---- secondary: derived-TPCH graph at $GRAFT_SF_DIR
     t0 = time.perf_counter()
     tmeta = graph_meta_for(sf_dir, "directed", num_partitions=min(8, P))
@@ -115,7 +147,8 @@ def run_bench() -> dict:
 
     headline = (
         timings["extract"] + timings["build_directed"] + timings["fragment_load"]
-        + timings["pagerank"] + timings["build_undirected"] + timings["wcc"]
+        + timings["pagerank"] + timings["build_undirected"]
+        + timings["fragment_load_u"] + timings["wcc"]
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
@@ -136,20 +169,35 @@ def run_bench() -> dict:
 def run_scaling():
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                           capture_output=True, text=True, check=True,
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # bind the whole process tree to ncpu physical cores:
+        # ray.init(num_cpus=...) only caps SCHEDULING tokens — placed
+        # actors would otherwise still burn every core, faking scaling
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    r_hi = one(hi)  # hi first: builds the shared caches at full width
+    r_lo = one(lo)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    alg_lo = r_lo["queries"]["engine_pagerank"] + r_lo["queries"]["engine_wcc"]
+    alg_hi = r_hi["queries"]["engine_pagerank"] + r_hi["queries"]["engine_wcc"]
+    eff_alg = (alg_lo / alg_hi) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_alg, 3),
         "unit": "ratio",
+        "note": "value = PageRank+WCC superstep-phase efficiency (the north-rule metric); e2e pipeline efficiency also reported",
+        "e2e_efficiency": round(eff, 3),
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
+        f"alg_sec_{lo}": round(alg_lo, 3),
+        f"alg_sec_{hi}": round(alg_hi, 3),
         f"queries_{lo}": r_lo["queries"],
         f"queries_{hi}": r_hi["queries"],
         "num_cpus": [lo, hi],

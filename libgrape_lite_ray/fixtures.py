@@ -228,3 +228,26 @@ def cliques_and_bridges(num_cliques: int = 5, size: int = 6):
 
 def expected_triangles(num_cliques: int = 5, size: int = 6) -> int:
     return num_cliques * (size * (size - 1) * (size - 2) // 6)
+
+
+def big_engine_edges(n_vertices: int, n_edges: int, seed: int = 42):
+    """Engine-scale deterministic edge Dataset in gid space (no html):
+    pure per-row arithmetic (stable under any batching), zipf-ish
+    destination skew via a cubed uniform hash.  Used by bench.py for the
+    superstep-throughput scaling measurement."""
+    import ray.data as rd
+
+    K1 = np.uint64(0x9E3779B97F4A7C15)
+    K2 = np.uint64(0xBF58476D1CE4E5B9)
+
+    def make(batch: dict) -> pa.Table:
+        i = batch["id"].astype(np.uint64) + np.uint64(seed)
+        h1 = (i * K1) >> np.uint64(32)
+        h2 = ((i + np.uint64(1)) * K2) >> np.uint64(32)
+        src = (h1 % np.uint64(n_vertices)).astype(np.int64)
+        u = (h2 & np.uint64(0xFFFFFFFF)).astype(np.float64) / 2**32
+        dst = np.minimum((n_vertices * u**3).astype(np.int64), n_vertices - 1)
+        keep = src != dst
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    return rd.range(n_edges).map_batches(make, batch_format="numpy", batch_size=1 << 20)

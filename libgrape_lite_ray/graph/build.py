@@ -146,6 +146,14 @@ def build_graph(
     from ray.data.aggregate import Sum
 
     os.makedirs(work_dir, exist_ok=True)
+    if reuse_vertices_from is not None and symmetrize:
+        # symmetrized variant of an already-built graph: skip the url
+        # table entirely — union the donor's gid spool with its reverse
+        # (no dictionary rebuild, no re-translate)
+        return _build_symmetrized_from_donor(
+            reuse_vertices_from, work_dir, weight_col, degree_aware, fingerprint,
+        )
+
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     edges_ds = edges_ds.select_columns(cols)
     if weight_col and weight_col != "w":
@@ -176,25 +184,17 @@ def build_graph(
 
     if reuse_vertices_from is not None:
         # same vertex universe as an already-built variant of this edge
-        # table (e.g. its symmetrization): reuse the dictionary and the
-        # partition boundaries, skip shuffles #1 and the sort
+        # table: reuse the dictionary and the partition boundaries
         donor = reuse_vertices_from
-        import shutil
-
-        dst_v = os.path.join(work_dir, "vertices")
-        if not os.path.exists(dst_v):
-            shutil.copytree(donor.vertices_path, dst_v)
-        vt = pq.read_table(dst_v, columns=["oid", "gid"])
+        _copy_vertices(donor, work_dir)
+        vt = pq.read_table(os.path.join(work_dir, "vertices"), columns=["oid", "gid"])
         order = pc.sort_indices(vt.column("gid"))
         sorted_oids = vt.column("oid").take(order).combine_chunks()
-        num_vertices = donor.num_vertices
-        num_partitions = donor.num_partitions
-        starts = donor.starts
-        oid_type = donor.oid_type
-        edges_gid = _translate_broadcast(edges_ds, sorted_oids, num_partitions)
+        edges_gid = _translate_broadcast(edges_ds, sorted_oids, donor.num_partitions)
         return _spool_and_finish(
-            edges_gid, work_dir, num_vertices, num_partitions, starts,
-            directed and not symmetrize, oid_type, bool(weight_col), fingerprint,
+            edges_gid, work_dir, donor.num_vertices, donor.num_partitions,
+            donor.starts, directed and not symmetrize, donor.oid_type,
+            bool(weight_col), fingerprint,
         )
 
     # ---- 1+2. vertex dictionary: per-block pre-deduped (oid, cnt)
@@ -320,6 +320,55 @@ def build_graph(
     return _spool_and_finish(
         edges_gid, work_dir, num_vertices, num_partitions, starts,
         directed and not symmetrize, oid_type, bool(weight_col), fingerprint,
+    )
+
+
+def _copy_vertices(donor: GraphMeta, work_dir: str):
+    import shutil
+
+    dst_v = os.path.join(work_dir, "vertices")
+    if not os.path.exists(dst_v):
+        shutil.copytree(donor.vertices_path, dst_v)
+
+
+def _build_symmetrized_from_donor(donor: GraphMeta, work_dir: str,
+                                  weight_col, degree_aware: bool,
+                                  fingerprint: str) -> GraphMeta:
+    """Undirected variant straight from the donor's gid spool: the url
+    table is never touched again — edges_gid = spool ∪ reverse(spool).
+    Partition boundaries are re-balanced from a sampled src histogram
+    (undirected degree != donor's out-degree on skewed graphs)."""
+    import ray.data as rd
+
+    _copy_vertices(donor, work_dir)
+    V, P = donor.num_vertices, donor.num_partitions
+    cols = ["src_gid", "dst_gid"] + (["w"] if donor.has_weights else [])
+    de = rd.read_parquet(donor.spool_dir, columns=cols).materialize()
+
+    if degree_aware:
+        n_rows = max(de.count(), 1)
+        frac = min(1.0, 2_000_000 / n_rows)
+        samp = de.random_sample(frac, seed=42).to_pandas() if frac < 1.0 else de.to_pandas()
+        both = np.concatenate([samp["src_gid"].to_numpy(), samp["dst_gid"].to_numpy()])
+        w = np.bincount(both, minlength=V).astype(np.float64) / max(frac, 1e-9) + 1.0
+        cum = np.cumsum(w)
+        targets = cum[-1] * np.arange(1, P) / P
+        inner = np.searchsorted(cum, targets).astype(np.int64)
+        starts = np.concatenate([[0], np.minimum(inner + 1, V), [V]])
+        starts = np.maximum.accumulate(starts).astype(np.int64)
+    else:
+        starts = donor.starts
+
+    def revg(t: pa.Table) -> pa.Table:
+        d = {"src_gid": t.column("dst_gid"), "dst_gid": t.column("src_gid")}
+        if donor.has_weights:
+            d["w"] = t.column("w")
+        return pa.table(d)
+
+    edges_gid = de.union(de.map_batches(revg, batch_format="pyarrow", batch_size=None))
+    return _spool_and_finish(
+        edges_gid, work_dir, V, P, starts, False, donor.oid_type,
+        donor.has_weights, fingerprint,
     )
 
 

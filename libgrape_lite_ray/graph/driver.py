@@ -42,7 +42,40 @@ import pyarrow.parquet as pq
 from .build import GraphMeta
 from .fragment import Fragment
 
-__all__ = ["FragmentHost", "GraphEngine"]
+__all__ = ["FragmentHost", "GraphEngine", "ResultHandle"]
+
+
+class ResultHandle:
+    """Distributed per-vertex result: one Arrow table ref per partition.
+
+    Stays in the object store until consumed; ``to_dataset()`` wraps it
+    as a Ray Dataset for distributed sinks (write_parquet etc.),
+    ``to_arrow()``/``to_pandas()`` do one batched fetch (results are
+    V-sized, far smaller than edges).  NOTE: refs are owned by the
+    engine's actors — consume before ``engine.shutdown()``.
+    """
+
+    def __init__(self, refs):
+        self.refs = list(refs)
+
+    def to_arrow(self) -> pa.Table:
+        import ray
+
+        return pa.concat_tables(ray.get(self.refs))
+
+    def to_pandas(self):
+        return self.to_arrow().to_pandas()
+
+    def to_dataset(self):
+        import ray.data as rd
+
+        return rd.from_arrow_refs(self.refs)
+
+    def iter_batches(self, batch_format: str = "pyarrow", batch_size=None):
+        import ray
+
+        for t in ray.get(self.refs):
+            yield t if batch_format == "pyarrow" else t.to_pandas()
 
 
 class FragmentHost:
@@ -52,14 +85,73 @@ class FragmentHost:
         self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64), has_weights)
         self.program = None
 
+    def reload(self, part_id: int, work_dir: str, starts, has_weights: bool):
+        """Rebind this actor to another built graph — reusing a warm
+        actor pool skips process spawn + imports (~5s for 32 actors)."""
+        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64), has_weights)
+        self.program = None
+        return True
+
     def edge_count(self) -> int:
         return int(self.frag.num_local_edges)
+
+    def warmup_put(self):
+        """First-touch the object-store arena with an export-sized
+        buffer — the first real superstep otherwise pays the page-fault
+        cost of mapping plasma memory (seconds at 32 actors)."""
+        import ray
+
+        n = max(8, sum(len(v) for v in self.frag.export_lids.values()))
+        # the Arrow table warms the per-actor Arrow serializer path the
+        # result output() uses; the array warms the exchange path
+        import pyarrow as _pa
+
+        ray.put(_pa.table({"x": np.zeros(4)}))
+        return ray.put(np.zeros(n))
+
+    def warmup_get(self, refs):
+        import ray
+
+        return sum(int(a[0]) for a in ray.get(refs))
 
     def mirror_requests(self):
         return self.frag.mirror_requests()
 
     def register_requests(self, reqs):
         self.frag.register_requests(reqs)
+
+    def mirror_requests_packed(self):
+        """Publish this partition's mirror lists as one packed object
+        (dest ids + offsets + concatenated gids) — registration volume
+        is O(total mirrors); routing it through driver args serialized
+        it twice and stalled engine startup on mirror-heavy graphs."""
+        import ray
+
+        reqs = self.frag.mirror_requests()
+        dests = sorted(reqs)
+        if not dests:
+            return {"ref": None, "dests": []}
+        lens = [len(reqs[q]) for q in dests]
+        bundle = {
+            "d": np.asarray(dests, np.int32),
+            "o": np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+            "g": np.concatenate([reqs[q] for q in dests]),
+        }
+        return {"ref": ray.put(bundle), "dests": dests}
+
+    def register_from(self, incoming):
+        """incoming = [(requester_part, packed_ref), ...]"""
+        import ray
+
+        f = self.frag
+        bundles = ray.get([ref for _, ref in incoming])
+        reqs = {}
+        for (q, _), b in zip(incoming, bundles):
+            i = int(np.searchsorted(b["d"], f.part))
+            if i < len(b["d"]) and b["d"][i] == f.part:
+                reqs[q] = b["g"][b["o"][i]: b["o"][i + 1]]
+        f.register_requests(reqs)
+        return True
 
     def init_program(self, name: str, params: dict) -> dict:
         from . import programs
@@ -70,52 +162,90 @@ class FragmentHost:
     def set_globals(self, agg: dict):
         self.program.set_globals(agg)
 
-    def produce(self, rnd: int):
-        """Export this round's exchange as ONE object-store entry (a
-        dict of per-destination arrays).  One ray.put per actor per
-        round — P² tiny puts would dominate wall time at high P; the
-        single bundle is fetched zero-copy by peers on the same node
-        (the trade: on a multi-node cluster a peer fetches the whole
-        bundle, like the reference's BatchShuffle all-to-all)."""
+    def _pack(self, rnd: int):
+        """Build this round's outgoing exchange as ONE object-store
+        entry of a few FLAT arrays (destination ids + offsets + one
+        concatenated buffer per payload column).  One ray.put per actor
+        per round, and consumers deserialize O(1) numpy arrays
+        (zero-copy from plasma) instead of O(P) — both P² tiny puts and
+        dict-of-P-arrays unpickling dominated round latency at P=32."""
         import ray
 
         t0 = time.perf_counter()
-        bundle = {"sync": {}, "msgs": {}}
         sent = 0
+        sd: list[int] = []
+        sync_parts: list[np.ndarray] = []
         mv = self.program.mirror_values(rnd)
         if mv is not None:
-            for p, vals in self.frag.export_values(mv).items():
-                bundle["sync"][p] = vals
+            for p, vals in sorted(self.frag.export_values(mv).items()):
+                sd.append(p)
+                sync_parts.append(vals)
                 sent += len(vals)
-        for p, payload in self.program.messages(rnd).items():
-            bundle["msgs"][p] = payload
+        md: list[int] = []
+        msg_cols: list[list[np.ndarray]] = []
+        for p, payload in sorted(self.program.messages(rnd).items()):
+            md.append(p)
+            msg_cols.append([np.asarray(c) for c in payload])
             sent += int(len(payload[0]))
-        dests = sorted(set(bundle["sync"]) | set(bundle["msgs"]))
-        ref = ray.put(bundle) if dests else None
-        return {"ref": ref, "dests": dests, "sent": sent,
-                "produce_s": time.perf_counter() - t0}
+        # sd/md ascending (searchsorted at the consumer)
+        dests = sorted(set(sd) | set(md))
+        if not dests:
+            return None, [], 0, time.perf_counter() - t0
+        bundle = {
+            "sd": np.asarray(sd, np.int32),
+            "so": np.concatenate([[0], np.cumsum([len(v) for v in sync_parts])]).astype(np.int64),
+            "sv": np.concatenate(sync_parts) if sync_parts else np.empty(0),
+            "md": np.asarray(md, np.int32),
+            "mo": np.concatenate([[0], np.cumsum([len(c[0]) for c in msg_cols])]).astype(np.int64),
+            "mc": [np.concatenate([msg_cols[i][j] for i in range(len(msg_cols))])
+                   for j in range(len(msg_cols[0]))] if msg_cols else [],
+        }
+        return ray.put(bundle), dests, sent, time.perf_counter() - t0
 
-    def consume(self, rnd: int, incoming: list):
-        """``incoming`` = [(producer_part, bundle_ref), ...]."""
+    def _apply(self, rnd: int, incoming: list) -> int:
         import ray
 
-        t0 = time.perf_counter()
         f = self.frag
         outer_vals = None
         msgs = []
-        for q, ref in incoming:
-            bundle = ray.get(ref)
-            vals = bundle["sync"].get(f.part)
-            if vals is not None:
+        # ONE batched get: 31 sequential gets cost ~5ms each in IPC
+        # latency; a single vectored get resolves them together
+        bundles = ray.get([ref for _, ref in incoming])
+        for (q, _), bundle in zip(incoming, bundles):
+            i = int(np.searchsorted(bundle["sd"], f.part))
+            if i < len(bundle["sd"]) and bundle["sd"][i] == f.part:
+                vals = bundle["sv"][bundle["so"][i]: bundle["so"][i + 1]]
                 if outer_vals is None:
                     outer_vals = np.zeros(f.ovnum, dtype=vals.dtype)
                 a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
                 outer_vals[a:b] = vals
-            payload = bundle["msgs"].get(f.part)
-            if payload is not None:
-                msgs.append(payload)
-        active = self.program.update(rnd, outer_vals, msgs)
+            j = int(np.searchsorted(bundle["md"], f.part))
+            if j < len(bundle["md"]) and bundle["md"][j] == f.part:
+                lo, hi = bundle["mo"][j], bundle["mo"][j + 1]
+                msgs.append(tuple(c[lo:hi] for c in bundle["mc"]))
+        return self.program.update(rnd, outer_vals, msgs)
+
+    def produce(self, rnd: int):
+        ref, dests, sent, dt = self._pack(rnd)
+        return {"ref": ref, "dests": dests, "sent": sent, "produce_s": dt}
+
+    def consume(self, rnd: int, incoming: list):
+        t0 = time.perf_counter()
+        active = self._apply(rnd, incoming)
         return {"active": int(active), "consume_s": time.perf_counter() - t0}
+
+    def step(self, rnd: int, incoming: list, ckpt_dir: str | None = None):
+        """Fused superstep: consume round `rnd`, then produce round
+        `rnd`+1 — one RPC barrier per round instead of two (the
+        reference overlaps the same way: FinishARound posts sends while
+        the next StartARound ingests, worker.h:87-133)."""
+        t0 = time.perf_counter()
+        active = self._apply(rnd, incoming)
+        if ckpt_dir:
+            self.checkpoint(ckpt_dir, rnd)
+        ref, dests, sent, _ = self._pack(rnd + 1)
+        return {"active": int(active), "ref": ref, "dests": dests,
+                "sent": sent, "step_s": time.perf_counter() - t0}
 
     def output(self):
         return pa.table(self.program.output())
@@ -163,7 +293,8 @@ class FragmentHost:
 class GraphEngine:
     """Owns the fragment actor pool for one built graph."""
 
-    def __init__(self, meta: GraphMeta, num_cpus_per_actor: float = 0.5):
+    def __init__(self, meta: GraphMeta, num_cpus_per_actor: float = 0.5,
+                 reuse_engine: "GraphEngine | None" = None):
         # fractional default so the fragment pool can never reserve every
         # CPU and starve Dataset read/consume stages into a scheduling
         # deadlock (actors block dataset tasks which the driver waits on)
@@ -171,19 +302,35 @@ class GraphEngine:
 
         self.meta = meta
         P = meta.num_partitions
-        Host = ray.remote(num_cpus=num_cpus_per_actor)(FragmentHost)
-        self.actors = [
-            Host.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights)
-            for p in range(P)
-        ]
-        # mirror registration (one-time; csr_edgecut_fragment_base.h dest lists)
-        reqs = ray.get([a.mirror_requests.remote() for a in self.actors])
-        to_owner: list[dict] = [{} for _ in range(P)]
-        for p, req in enumerate(reqs):
-            for q, gids in req.items():
-                to_owner[q][p] = gids
-        ray.get([self.actors[q].register_requests.remote(to_owner[q]) for q in range(P)])
+        if reuse_engine is not None and len(reuse_engine.actors) == P:
+            # adopt the warm pool (ownership transfers; the donor engine
+            # must not be used afterwards)
+            self.actors = reuse_engine.actors
+            reuse_engine.actors = []
+            ray.get([
+                a.reload.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights)
+                for p, a in enumerate(self.actors)
+            ])
+        else:
+            Host = ray.remote(num_cpus=num_cpus_per_actor)(FragmentHost)
+            self.actors = [
+                Host.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights)
+                for p in range(P)
+            ]
+        # mirror registration (one-time; csr_edgecut_fragment_base.h dest
+        # lists) — packed refs through the object store, driver only routes
+        packed = ray.get([a.mirror_requests_packed.remote() for a in self.actors])
+        to_owner: list[list] = [[] for _ in range(P)]
+        for p, pk in enumerate(packed):
+            for q in pk["dests"]:
+                to_owner[q].append((p, pk["ref"]))
+        ray.get([self.actors[q].register_from.remote(to_owner[q]) for q in range(P)])
         self.num_local_edges = sum(ray.get([a.edge_count.remote() for a in self.actors]))
+        # prime plasma client connections between every actor pair once
+        # (the first cross-actor object exchange otherwise costs seconds
+        # on the first algorithm round)
+        refs = ray.get([a.warmup_put.remote() for a in self.actors])
+        ray.get([a.warmup_get.remote(refs) for a in self.actors])
 
     def run(
         self,
@@ -220,32 +367,40 @@ class GraphEngine:
         metrics["resumed_from"] = resumed_from
 
         t_start = time.perf_counter()
+        # fused-step loop: produce(r0) once, then one RPC barrier per
+        # round (consume r + produce r+1 in the same actor call)
+        prod = ray.get([a.produce.remote(r0) for a in self.actors])
         r = r0 - 1
+        last_ckpt = None
         for r in range(r0, max_rounds + 1):
-            prod = ray.get([a.produce.remote(r) for a in self.actors])
             incoming: list[list] = [[] for _ in range(P)]
             sent = 0
             for q, out in enumerate(prod):
                 sent += out["sent"]
                 for p in out["dests"]:
                     incoming[p].append((q, out["ref"]))
+            do_ckpt = bool(ckpt_dir and checkpoint_every and r % checkpoint_every == 0)
             res = ray.get(
-                [a.consume.remote(r, incoming[p]) for p, a in enumerate(self.actors)]
+                [a.step.remote(r, incoming[p], ckpt_dir if do_ckpt else None)
+                 for p, a in enumerate(self.actors)]
             )
             active = sum(x["active"] for x in res)
             metrics["round_log"].append({"round": r, "active": active, "sent": sent})
             metrics["rounds"] = r
-            if ckpt_dir and checkpoint_every and (r % checkpoint_every == 0 or active == 0):
-                ray.get([a.checkpoint.remote(ckpt_dir, r) for a in self.actors])
+            if do_ckpt:
                 self._write_manifest(ckpt_dir, program, params, r, metrics, converged=active == 0)
+                last_ckpt = r
             if active == 0:
+                if ckpt_dir and checkpoint_every and last_ckpt != r:
+                    ray.get([a.checkpoint.remote(ckpt_dir, r) for a in self.actors])
+                    self._write_manifest(ckpt_dir, program, params, r, metrics, converged=True)
                 break
+            prod = res  # each step returned the round r+1 exchange
         metrics["wall_s"] = time.perf_counter() - t_start
         metrics["supersteps_per_s"] = (
             (metrics["rounds"] - (r0 - 1)) / metrics["wall_s"] if metrics["wall_s"] > 0 else 0.0
         )
-        refs = [a.output.remote() for a in self.actors]
-        return rd.from_arrow_refs(refs), metrics
+        return ResultHandle([a.output.remote() for a in self.actors]), metrics
 
     # ---------------------------------------------------------- checkpoints
     def _manifest_path(self, ckpt_dir: str, rnd: int) -> str:

@@ -186,3 +186,16 @@ class Fragment:
         v = edge_vals[self.tgt_order]
         sums = np.add.reduceat(v, self.tgt_starts)
         buf[self.tgt_unique] += sums
+
+    def gather_edges(self, rows: np.ndarray):
+        """Edge indices of the CSR rows in ``rows``; returns
+        (edge_idx, lens).  Used by frontier-sparse propagation."""
+        lens = (self.indptr[rows + 1] - self.indptr[rows]).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, np.int64), lens
+        starts = np.repeat(self.indptr[rows], lens)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        return starts + offs, lens

@@ -81,8 +81,9 @@ class MinPropagation(VertexProgram):
     def _init_vals(self) -> np.ndarray:
         raise NotImplementedError
 
-    def _relax(self, src_vals: np.ndarray) -> np.ndarray:
-        """Per-edge candidate value for the edge's destination."""
+    def _relax(self, src_vals: np.ndarray, edge_idx: np.ndarray | None = None) -> np.ndarray:
+        """Per-edge candidate value for the edge's destination.
+        ``edge_idx=None`` means all edges in CSR order."""
         return src_vals
 
     def init(self) -> dict:
@@ -92,18 +93,35 @@ class MinPropagation(VertexProgram):
         self._dirty = True  # force a first local fixpoint in round 1
         return {}
 
-    def _local_fixpoint(self):
+    def _local_fixpoint(self, frontier: np.ndarray | None = None):
+        """Propagate to a per-partition fixpoint.  Dense sweeps
+        (reduceat over all edges) while the frontier is wide, switching
+        to frontier-only scatter when it narrows — the reference's
+        push/pull density switch (wcc/wcc.h:198-208 rate > 0.1)."""
         f = self.frag
         vals = self.vals
-        while True:
-            before_inner = vals[: f.ivnum].copy()
-            before_outer = vals[f.ivnum:].copy()
-            src_vals = vals[f.src_of_edge]
-            f.push_min(vals, self._relax(src_vals))
-            outer_changed = vals[f.ivnum:] < before_outer
-            self.pending |= outer_changed
-            if not (vals[: f.ivnum] < before_inner).any() and not outer_changed.any():
-                break
+        if frontier is None:
+            frontier = np.arange(f.ivnum, dtype=np.int64)
+        while len(frontier):
+            if len(frontier) * 8 > f.ivnum:
+                before = vals.copy()
+                f.push_min(vals, self._relax(vals[f.src_of_edge]))
+                changed = vals < before
+                self.pending |= changed[f.ivnum:]
+                frontier = np.flatnonzero(changed[: f.ivnum])
+            else:
+                eidx, lens = f.gather_edges(frontier)
+                if len(eidx) == 0:
+                    break
+                tgts = f.indices[eidx]
+                cand = self._relax(vals[np.repeat(frontier, lens)], eidx)
+                ut = np.unique(tgts)
+                before_u = vals[ut].copy()
+                np.minimum.at(vals, tgts, cand)
+                changed_u = ut[vals[ut] < before_u]
+                outer = changed_u[changed_u >= f.ivnum]
+                self.pending[outer - f.ivnum] = True
+                frontier = changed_u[changed_u < f.ivnum]
 
     def messages(self, rnd: int) -> dict[int, tuple]:
         f = self.frag
@@ -122,16 +140,20 @@ class MinPropagation(VertexProgram):
     def update(self, rnd: int, outer_vals, msgs: list[tuple]) -> int:
         f = self.frag
         changed = 0
+        frontier = None
         if msgs:
             gids = np.concatenate([m[0] for m in msgs])
             vv = np.concatenate([m[1] for m in msgs])
-            lids = gids - f.lo
-            before = self.vals[: f.ivnum].copy()
-            np.minimum.at(self.vals, lids, vv)
-            changed = int((self.vals[: f.ivnum] < before).sum())
-        if changed or self._dirty:
+            lids = np.unique(gids - f.lo)
+            before = self.vals[lids].copy()
+            np.minimum.at(self.vals, gids - f.lo, vv)
+            frontier = lids[self.vals[lids] < before]
+            changed = len(frontier)
+        if self._dirty:
             self._dirty = False
-            self._local_fixpoint()
+            self._local_fixpoint(None)
+        elif changed:
+            self._local_fixpoint(frontier)
         return changed + int(self.pending.sum())
 
     def state_dict(self):

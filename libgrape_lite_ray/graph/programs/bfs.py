@@ -31,7 +31,7 @@ class BFS(MinPropagation):
             vals[f.ivnum + i] = 0
         return vals
 
-    def _relax(self, src_vals: np.ndarray) -> np.ndarray:
+    def _relax(self, src_vals: np.ndarray, edge_idx=None) -> np.ndarray:
         return src_vals + 1
 
     def output(self):

@@ -41,8 +41,15 @@ def _gather_segments(data: np.ndarray, indptr: np.ndarray, ids: np.ndarray):
 
 
 class LCC(VertexProgram):
+    """Stages: 0 degree sync -> 1 adjacency REQUESTS (each partition
+    asks owners only for the oriented lists of mirrors that actually
+    appear in its oriented neighborhoods — without this, owners ship
+    their whole oriented adjacency to every mirror holder, an O(P x E)
+    exchange on mirror-dense web graphs) -> 2 adjacency shipping +
+    wedge counting -> 3 tricnt sum-sync + coefficients."""
+
     name = "lcc"
-    default_max_rounds = 4
+    default_max_rounds = 5
 
     def init(self) -> dict:
         f = self.frag
@@ -50,6 +57,7 @@ class LCC(VertexProgram):
         self.deg_full = np.zeros(f.tvnum, dtype=np.int64)
         self.deg_full[: f.ivnum] = f.out_degree
         self.tricnt = np.zeros(f.tvnum, dtype=np.int64)
+        self.requested: dict[int, np.ndarray] = {}
         self.done = False
         return {}
 
@@ -62,14 +70,28 @@ class LCC(VertexProgram):
     def messages(self, rnd: int) -> dict[int, tuple]:
         f = self.frag
         if self.stage == 1:
-            # ship oriented adjacency of exported mirrors to requesters
+            # request oriented lists of the outer vertices we will probe
             out = {}
-            for p, lids in f.export_lids.items():
+            outer_needed = np.unique(
+                self.o_nbr_local_inner[self.o_nbr_local_inner >= f.ivnum]
+            )
+            gids = f.outer_gids[outer_needed - f.ivnum]
+            owners = f.owner_of(gids)
+            for q in np.unique(owners):
+                sel = gids[owners == q]
+                # second column carries the requester id (payloads are
+                # anonymous arrays; the owner needs to know who asked)
+                out[int(q)] = (sel, np.full(len(sel), f.part, dtype=np.int64))
+            return out
+        if self.stage == 2:
+            # ship oriented adjacency for the vertices each requester asked
+            out = {}
+            for p, lids in self.requested.items():
                 nbr_gids, lens = _gather_segments(self.o_nbr_gid_inner, self.o_indptr, lids)
                 u_rep = np.repeat(f.lo + lids, lens)
                 out[p] = (u_rep, nbr_gids)
             return out
-        if self.stage == 2:
+        if self.stage == 3:
             out = {}
             for q in range(f.num_parts):
                 a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
@@ -90,10 +112,18 @@ class LCC(VertexProgram):
             self.stage = 1
             return 1
         if self.stage == 1:
-            self._count_triangles(msgs)
+            self.requested = {}
+            for m in msgs:
+                if len(m[0]):
+                    requester = int(m[1][0])
+                    self.requested[requester] = np.asarray(m[0], dtype=np.int64) - f.lo
             self.stage = 2
             return 1
         if self.stage == 2:
+            self.stage = 3
+            self._count_triangles(msgs)
+            return 1
+        if self.stage == 3:
             if msgs:
                 gids = np.concatenate([m[0] for m in msgs])
                 cnts = np.concatenate([m[1] for m in msgs])
@@ -105,7 +135,7 @@ class LCC(VertexProgram):
             lcc[m] = 2.0 * t[m] / (deg[m] * (deg[m] - 1.0))
             self.lcc = lcc
             self.done = True
-            self.stage = 3
+            self.stage = 4
             return 0
         return 0
 
@@ -214,6 +244,11 @@ class LCC(VertexProgram):
             arrays["o_nbr_local_inner"] = self.o_nbr_local_inner
             arrays["o_nbr_gid_inner"] = self.o_nbr_gid_inner
             arrays["o_indptr"] = self.o_indptr
+        if self.requested:
+            arrays["req_parts"] = np.concatenate(
+                [np.full(len(v), p, dtype=np.int64) for p, v in self.requested.items()]
+            )
+            arrays["req_lids"] = np.concatenate(list(self.requested.values()))
         if self.done:
             arrays["lcc"] = self.lcc
         return arrays, {"stage": self.stage, "done": bool(self.done)}
@@ -227,5 +262,10 @@ class LCC(VertexProgram):
             self.o_nbr_local_inner = arrays["o_nbr_local_inner"]
             self.o_nbr_gid_inner = arrays["o_nbr_gid_inner"]
             self.o_indptr = arrays["o_indptr"]
+        self.requested = {}
+        if "req_parts" in arrays:
+            rp, rl = arrays["req_parts"], arrays["req_lids"]
+            for p in np.unique(rp):
+                self.requested[int(p)] = rl[rp == p]
         if self.done:
             self.lcc = arrays["lcc"]

@@ -32,8 +32,9 @@ class SSSP(MinPropagation):
             vals[f.ivnum + i] = 0.0
         return vals
 
-    def _relax(self, src_vals: np.ndarray) -> np.ndarray:
-        return src_vals + self.frag.edge_w
+    def _relax(self, src_vals: np.ndarray, edge_idx=None) -> np.ndarray:
+        w = self.frag.edge_w if edge_idx is None else self.frag.edge_w[edge_idx]
+        return src_vals + w
 
     def output(self):
         return {"gid": self.frag.inner_gids(), "dist": self.vals[: self.frag.ivnum]}

@@ -20,17 +20,23 @@ from ..graph.driver import GraphEngine
 __all__ = ["extract_edges", "pages_to_graph", "run_web_analytics"]
 
 
-def extract_edges(pages_ds, concurrency=(1, 8), materialize: bool = True):
+def extract_edges(pages_ds, concurrency=None, materialize: bool = True):
     """pages -> (src, dst) url edge Dataset.  ``materialize=True`` pins
     the (small relative to html) edge table so multiple graph builds
     reuse it without re-running extraction; at full corpus scale write
-    it to Parquet instead and read it back."""
-    edges = pages_ds.map_batches(
-        ExtractLinks,
-        batch_format="pyarrow",
-        batch_size=512,  # html rows are wide — keep batches small
-        concurrency=concurrency,
-    )
+    it to Parquet instead and read it back.
+
+    Extraction is stateless, so it runs as elastic TASKS by default
+    (scales with available CPUs); pass ``concurrency`` to force an
+    actor pool (autoscaling pools ramp lazily and under-use big nodes).
+    """
+    from ..extract import extract_edges_batch
+
+    kwargs = dict(batch_format="pyarrow", batch_size=512)
+    if concurrency is not None:
+        edges = pages_ds.map_batches(ExtractLinks, concurrency=concurrency, **kwargs)
+    else:
+        edges = pages_ds.map_batches(extract_edges_batch, **kwargs)
     return edges.materialize() if materialize else edges
 
 
