@@ -25,7 +25,7 @@ import time
 
 N_BENCH_PAGES = 1_500_000
 N_SITES = 128
-ENGINE_V, ENGINE_E = 4_000_000, 100_000_000  # superstep-throughput graph
+ENGINE_V, ENGINE_E = 8_000_000, 300_000_000  # superstep-throughput graph
 RICHNESS = 3  # paragraphs-per-page multiplier: heavier html -> compute-dominated extraction
 
 
@@ -118,7 +118,7 @@ def run_bench() -> dict:
     import json as _json
     if not os.path.exists(os.path.join(egdir, "directed", "graph_meta.json")):
         eg = fixtures.big_engine_edges(ENGINE_V, ENGINE_E)
-        emeta = build_graph(eg, os.path.join(egdir, "directed"), P)
+        emeta = build_graph(eg, os.path.join(egdir, "directed"), P, dense_int_oids=True)
         build_graph(None, os.path.join(egdir, "undirected"), P,
                     directed=False, symmetrize=True, reuse_vertices_from=emeta)
     from libgrape_lite_ray.graph.build import GraphMeta

@@ -133,6 +133,7 @@ def build_graph(
     broadcast_threshold: int = 4_000_000,
     fingerprint: str = "",
     reuse_vertices_from: "GraphMeta | None" = None,
+    dense_int_oids: bool = False,
 ) -> GraphMeta:
     """Build the on-disk graph layout from an edge Dataset with columns
     ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
@@ -146,6 +147,11 @@ def build_graph(
     from ray.data.aggregate import Sum
 
     os.makedirs(work_dir, exist_ok=True)
+    if dense_int_oids:
+        return _build_dense_int(
+            edges_ds, work_dir, num_partitions, directed, symmetrize,
+            degree_aware, weight_col, fingerprint,
+        )
     if reuse_vertices_from is not None and symmetrize:
         # symmetrized variant of an already-built graph: skip the url
         # table entirely — union the donor's gid spool with its reverse
@@ -323,9 +329,74 @@ def build_graph(
     )
 
 
+def _build_dense_int(edges_ds, work_dir, num_partitions, directed, symmetrize,
+                     degree_aware, weight_col, fingerprint) -> GraphMeta:
+    """Fast path when oids are already dense int64 ids (0..V-1): gid ==
+    oid, no dictionary build or translate — one sampled-degree pass for
+    boundaries, then route to the spool.  The production path for
+    pre-normalized inputs (the reference's int-oid graphs with a dense
+    id space)."""
+    from ray.data.aggregate import Max
+
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    edges_ds = edges_ds.select_columns(cols)
+    if weight_col and weight_col != "w":
+        edges_ds = edges_ds.rename_columns({weight_col: "w"})
+    edges_ds = edges_ds.materialize()
+
+    agg = edges_ds.aggregate(Max("src", alias_name="ms"), Max("dst", alias_name="md"))
+    V = int(max(agg["ms"], agg["md"])) + 1
+    P = min(num_partitions, max(1, V))
+
+    if symmetrize:
+        def rev(t: pa.Table) -> pa.Table:
+            d = {"src": t.column("dst"), "dst": t.column("src")}
+            if weight_col:
+                d["w"] = t.column("w")
+            return pa.table(d)
+
+        edges_ds = edges_ds.union(
+            edges_ds.map_batches(rev, batch_format="pyarrow", batch_size=None)
+        )
+
+    if degree_aware:
+        n_rows = max(edges_ds.count(), 1)
+        frac = min(1.0, 2_000_000 / n_rows)
+        samp = (edges_ds.select_columns(["src"]).random_sample(frac, seed=42).to_pandas()
+                if frac < 1.0 else edges_ds.select_columns(["src"]).to_pandas())
+        w = np.bincount(samp["src"].to_numpy(), minlength=V).astype(np.float64)
+        w = w / max(frac, 1e-9) + 1.0
+        cum = np.cumsum(w)
+        targets = cum[-1] * np.arange(1, P) / P
+        inner = np.searchsorted(cum, targets).astype(np.int64)
+        starts = np.maximum.accumulate(
+            np.concatenate([[0], np.minimum(inner + 1, V), [V]])
+        ).astype(np.int64)
+    else:
+        starts = partition_starts(V, P)
+
+    def to_gid(t: pa.Table) -> pa.Table:
+        d = {"src_gid": t.column("src").cast(pa.int64()),
+             "dst_gid": t.column("dst").cast(pa.int64())}
+        if weight_col:
+            d["w"] = t.column("w")
+        return pa.table(d)
+
+    edges_gid = edges_ds.map_batches(to_gid, batch_format="pyarrow", batch_size=None)
+    meta = _spool_and_finish(
+        edges_gid, work_dir, V, P, starts, directed and not symmetrize,
+        "int64", bool(weight_col), fingerprint,
+    )
+    meta.extra["identity_oids"] = True
+    meta.save()
+    return meta
+
+
 def _copy_vertices(donor: GraphMeta, work_dir: str):
     import shutil
 
+    if donor.extra.get("identity_oids"):
+        return  # dense-int graphs have no dictionary on disk
     dst_v = os.path.join(work_dir, "vertices")
     if not os.path.exists(dst_v):
         shutil.copytree(donor.vertices_path, dst_v)
@@ -366,10 +437,14 @@ def _build_symmetrized_from_donor(donor: GraphMeta, work_dir: str,
         return pa.table(d)
 
     edges_gid = de.union(de.map_batches(revg, batch_format="pyarrow", batch_size=None))
-    return _spool_and_finish(
+    meta = _spool_and_finish(
         edges_gid, work_dir, V, P, starts, False, donor.oid_type,
         donor.has_weights, fingerprint,
     )
+    if donor.extra.get("identity_oids"):
+        meta.extra["identity_oids"] = True
+        meta.save()
+    return meta
 
 
 def _translate_broadcast(edges_ds, sorted_oids: pa.Array, num_partitions: int):
@@ -397,26 +472,30 @@ def _translate_broadcast(edges_ds, sorted_oids: pa.Array, num_partitions: int):
 
 def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
                       directed, oid_type, has_weights, fingerprint) -> GraphMeta:
-    # ---- 5. spool: Parquet partitioned by owner-of-src (shuffle #2)
+    # ---- 5. spool: ONE distributed sort by (src_gid, dst_gid) — it
+    # both routes rows to their owner partition (contiguous gid ranges)
+    # and pre-orders them for CSR, so fragment actors skip their
+    # per-actor lexsort at every engine load (immutable_csr.h:100-107
+    # neighbor ordering, done once at build instead of per load)
     spool = os.path.join(work_dir, "edges")
     os.makedirs(spool, exist_ok=True)
     starts_list = starts  # closure capture (tiny)
+    edges_gid = edges_gid.sort(["src_gid", "dst_gid"])
 
     def write_spool(t: pa.Table) -> pa.Table:
         sg = t.column("src_gid").to_numpy(zero_copy_only=False)
-        parts = part_of(sg, starts_list)
-        order = np.argsort(parts, kind="stable")
-        t2 = t.take(pa.array(order))
-        parts_sorted = parts[order]
-        bounds = np.searchsorted(parts_sorted, np.arange(len(starts_list)))
+        parts = part_of(sg, starts_list)  # already ascending (sorted input)
+        bounds = np.searchsorted(parts, np.arange(len(starts_list)))
         fid = uuid.uuid4().hex[:12]
         counts = []
-        for p in np.unique(parts_sorted):
-            lo, hi = bounds[p], bounds[p + 1] if p + 1 < len(bounds) else len(t2)
-            sub = t2.slice(lo, hi - lo)
+        for p in np.unique(parts):
+            lo, hi = bounds[p], bounds[p + 1] if p + 1 < len(bounds) else len(t)
+            sub = t.slice(lo, hi - lo)
             pdir = os.path.join(spool, f"part={p}")
             os.makedirs(pdir, exist_ok=True)
-            pq.write_table(sub, os.path.join(pdir, f"{fid}.parquet"))
+            # min-src-prefixed name: lexical file order == gid order, so
+            # concatenated reads stay globally sorted
+            pq.write_table(sub, os.path.join(pdir, f"{int(sg[lo]):012d}_{fid}.parquet"))
             counts.append((int(p), hi - lo))
         return pa.table({"part": pa.array([c[0] for c in counts], pa.int32()),
                          "rows": pa.array([c[1] for c in counts], pa.int64())})
@@ -435,6 +514,7 @@ def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
         has_weights=has_weights,
         fingerprint=fingerprint,
     )
+    meta.extra["spool_sorted"] = True
     meta.save()
     return meta
 
@@ -444,6 +524,10 @@ def attach_oids(result_table: pa.Table, meta: GraphMeta, gid_col: str = "gid",
     """Re-attach original ids to a (gid, ...) result (build-time-join
     analog of global_vertex_map.h:174-209 lookups; gids are the rank in
     the sorted oid dict so this is a pure gather)."""
+    if meta.extra.get("identity_oids"):
+        return result_table.add_column(
+            0, oid_name, result_table.column(gid_col).cast(pa.int64())
+        )
     vt = pq.read_table(os.path.join(meta.work_dir, "vertices"), columns=["oid", "gid"])
     order = pc.sort_indices(vt.column("gid"))
     oids_sorted = vt.column("oid").take(order)

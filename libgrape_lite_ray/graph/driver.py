@@ -81,14 +81,18 @@ class ResultHandle:
 class FragmentHost:
     """Actor body: fragment + program + exchange endpoints."""
 
-    def __init__(self, part_id: int, work_dir: str, starts, has_weights: bool):
-        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64), has_weights)
+    def __init__(self, part_id: int, work_dir: str, starts, has_weights: bool,
+                 sorted_spool: bool = False):
+        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
+                             has_weights, sorted_spool)
         self.program = None
 
-    def reload(self, part_id: int, work_dir: str, starts, has_weights: bool):
+    def reload(self, part_id: int, work_dir: str, starts, has_weights: bool,
+               sorted_spool: bool = False):
         """Rebind this actor to another built graph — reusing a warm
         actor pool skips process spawn + imports (~5s for 32 actors)."""
-        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64), has_weights)
+        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
+                             has_weights, sorted_spool)
         self.program = None
         return True
 
@@ -308,13 +312,15 @@ class GraphEngine:
             self.actors = reuse_engine.actors
             reuse_engine.actors = []
             ray.get([
-                a.reload.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights)
+                a.reload.remote(p, meta.work_dir, meta.starts.tolist(),
+                                meta.has_weights, bool(meta.extra.get("spool_sorted")))
                 for p, a in enumerate(self.actors)
             ])
         else:
             Host = ray.remote(num_cpus=num_cpus_per_actor)(FragmentHost)
             self.actors = [
-                Host.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights)
+                Host.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights,
+                            bool(meta.extra.get("spool_sorted")))
                 for p in range(P)
             ]
         # mirror registration (one-time; csr_edgecut_fragment_base.h dest

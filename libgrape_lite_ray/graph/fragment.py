@@ -38,7 +38,7 @@ __all__ = ["Fragment"]
 
 class Fragment:
     def __init__(self, part_id: int, work_dir: str, starts: np.ndarray,
-                 has_weights: bool = False):
+                 has_weights: bool = False, sorted_spool: bool = False):
         self.part = int(part_id)
         self.starts = np.asarray(starts, dtype=np.int64)
         self.num_parts = len(self.starts) - 1
@@ -59,11 +59,14 @@ class Fragment:
             dst = np.empty(0, np.int64)
             w = np.empty(0, np.float64) if has_weights else None
 
-        # sort by (src, dst); dedup (src,dst) pairs unless weighted
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        if w is not None:
-            w = w[order]
+        # sort by (src, dst) — skipped when the build pre-sorted the
+        # spool (files are min-src-named so sorted glob order == gid
+        # order); then dedup (src,dst) pairs unless weighted
+        if not sorted_spool:
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            if w is not None:
+                w = w[order]
         if w is None and len(src):
             keep = np.empty(len(src), dtype=bool)
             keep[0] = True
@@ -76,7 +79,11 @@ class Fragment:
         self.ovnum = len(self.outer_gids)
         self.tvnum = self.ivnum + self.ovnum
 
-        indices = np.empty(len(dst), dtype=np.int64)
+        # int32 local indices when they fit: the per-round gathers over
+        # these arrays are memory-bandwidth bound — 4-byte indices halve
+        # the traffic (int64 fallback for >2B-row partitions)
+        idx_t = np.int32 if self.tvnum < 2**31 - 2 and len(dst) < 2**31 - 2 else np.int64
+        indices = np.empty(len(dst), dtype=idx_t)
         indices[inner_mask] = dst[inner_mask] - self.lo
         indices[~inner_mask] = self.ivnum + np.searchsorted(self.outer_gids, dst[~inner_mask])
         self.indices = indices
@@ -86,10 +93,10 @@ class Fragment:
         self.indptr = np.concatenate([[0], np.cumsum(rowlens)])
         self.out_degree = rowlens  # post-dedup local out-degree (== global:
         # all out-edges of an inner vertex are routed here, ev_fragment_loader.h)
-        self.src_of_edge = np.repeat(np.arange(self.ivnum, dtype=np.int64), rowlens)
+        self.src_of_edge = np.repeat(np.arange(self.ivnum, dtype=idx_t), rowlens)
 
         # transpose structure for push-style per-destination reductions
-        self.tgt_order = np.argsort(indices, kind="stable")
+        self.tgt_order = np.argsort(indices, kind="stable").astype(idx_t)
         sorted_tgts = indices[self.tgt_order]
         self.tgt_unique, self.tgt_starts = np.unique(sorted_tgts, return_index=True)
 
@@ -179,6 +186,19 @@ class Fragment:
         v = edge_vals[self.tgt_order]
         mins = np.minimum.reduceat(v, self.tgt_starts)
         buf[self.tgt_unique] = np.minimum(buf[self.tgt_unique], mins)
+
+    def push_min_track(self, buf: np.ndarray, edge_vals: np.ndarray) -> np.ndarray:
+        """push_min that also returns the local ids whose value dropped
+        (avoids the full-array snapshot+compare per fixpoint sweep)."""
+        if len(edge_vals) == 0:
+            return np.empty(0, np.int64)
+        v = edge_vals[self.tgt_order]
+        mins = np.minimum.reduceat(v, self.tgt_starts)
+        cur = buf[self.tgt_unique]
+        mask = mins < cur
+        ids = self.tgt_unique[mask]
+        buf[ids] = mins[mask]
+        return ids
 
     def push_sum(self, buf: np.ndarray, edge_vals: np.ndarray):
         if len(edge_vals) == 0:

@@ -77,6 +77,10 @@ class MinPropagation(VertexProgram):
 
     dtype = np.int64
     inf = np.iinfo(np.int64).max // 2
+    # cap per-round local sweeps: long in-partition chains otherwise run
+    # O(local diameter) full-edge sweeps inside ONE superstep; the BSP
+    # exchange converges globally anyway with bounded, cheaper rounds
+    max_local_iters = 10
 
     def _init_vals(self) -> np.ndarray:
         raise NotImplementedError
@@ -91,6 +95,7 @@ class MinPropagation(VertexProgram):
         self.vals = self._init_vals()  # full length tvnum
         self.pending = np.zeros(f.ovnum, dtype=bool)
         self._dirty = True  # force a first local fixpoint in round 1
+        self._resume_frontier = None
         return {}
 
     def _local_fixpoint(self, frontier: np.ndarray | None = None):
@@ -102,26 +107,36 @@ class MinPropagation(VertexProgram):
         vals = self.vals
         if frontier is None:
             frontier = np.arange(f.ivnum, dtype=np.int64)
+        iters = 0
         while len(frontier):
-            if len(frontier) * 8 > f.ivnum:
-                before = vals.copy()
-                f.push_min(vals, self._relax(vals[f.src_of_edge]))
-                changed = vals < before
-                self.pending |= changed[f.ivnum:]
-                frontier = np.flatnonzero(changed[: f.ivnum])
+            iters += 1
+            if iters > self.max_local_iters:
+                # leave the rest to later supersteps; re-arm the dirty
+                # flag so the next update resumes the local frontier
+                self._resume_frontier = frontier
+                break
+            # switch on the frontier's EDGE mass, not vertex count — a
+            # frontier containing one hub can cover most of the edges
+            fe = int((f.indptr[frontier + 1] - f.indptr[frontier]).sum())
+            if fe * 4 > f.num_local_edges:
+                ids = f.push_min_track(vals, self._relax(vals[f.src_of_edge]))
             else:
                 eidx, lens = f.gather_edges(frontier)
                 if len(eidx) == 0:
                     break
                 tgts = f.indices[eidx]
                 cand = self._relax(vals[np.repeat(frontier, lens)], eidx)
-                ut = np.unique(tgts)
-                before_u = vals[ut].copy()
-                np.minimum.at(vals, tgts, cand)
-                changed_u = ut[vals[ut] < before_u]
-                outer = changed_u[changed_u >= f.ivnum]
-                self.pending[outer - f.ivnum] = True
-                frontier = changed_u[changed_u < f.ivnum]
+                # sort+reduceat min-combine (np.minimum.at is ~10x slower)
+                order = np.argsort(tgts, kind="stable")
+                st, sc = tgts[order], cand[order]
+                uniq_t, starts_t = np.unique(st, return_index=True)
+                mins = np.minimum.reduceat(sc, starts_t)
+                mask = mins < vals[uniq_t]
+                ids = uniq_t[mask]
+                vals[ids] = mins[mask]
+            outer = ids[ids >= f.ivnum]
+            self.pending[outer - f.ivnum] = True
+            frontier = ids[ids < f.ivnum]
 
     def messages(self, rnd: int) -> dict[int, tuple]:
         f = self.frag
@@ -149,17 +164,31 @@ class MinPropagation(VertexProgram):
             np.minimum.at(self.vals, gids - f.lo, vv)
             frontier = lids[self.vals[lids] < before]
             changed = len(frontier)
+        resume = self._resume_frontier
+        self._resume_frontier = None
         if self._dirty:
             self._dirty = False
             self._local_fixpoint(None)
-        elif changed:
+        elif changed or resume is not None:
+            if resume is not None:
+                frontier = resume if frontier is None else np.union1d(frontier, resume)
             self._local_fixpoint(frontier)
-        return changed + int(self.pending.sum())
+        leftover = 0 if self._resume_frontier is None else len(self._resume_frontier)
+        return changed + int(self.pending.sum()) + leftover
 
     def state_dict(self):
-        return ({"vals": self.vals, "pending": self.pending}, {"dirty": bool(self._dirty)})
+        rf = self._resume_frontier
+        return (
+            {"vals": self.vals, "pending": self.pending,
+             "resume_frontier": rf if rf is not None else np.empty(0, np.int64)},
+            {"dirty": bool(self._dirty), "has_resume": rf is not None},
+        )
 
     def load_state(self, arrays, scalars):
         self.vals = arrays["vals"]
         self.pending = arrays["pending"].astype(bool)
         self._dirty = bool(scalars.get("dirty", False))
+        self._resume_frontier = (
+            arrays["resume_frontier"].astype(np.int64)
+            if scalars.get("has_resume") else None
+        )
