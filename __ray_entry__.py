@@ -416,6 +416,15 @@ def _q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow", batch_size=None)
 
 
+def _q_sample_neighbors(sf_dir: str):
+    """Deterministic per-partition-seeded neighbor sampling (rows-only:
+    the sample is random by construction; determinism is pytest-checked)."""
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "sample_neighbors",
+                           {"k": 3, "strategy": "random", "seed": 7}, variant="directed")
+
+
 def _q_image_decode(sf_dir: str):
     """Multimodal plumbing: deterministic fake images keyed by doc_id,
     decoded by the actor-pool stage (rows-only check)."""
@@ -473,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "image_decode": _q_image_decode,
+        "sample_neighbors": _q_sample_neighbors,
     }
 
 

@@ -110,6 +110,9 @@ def run_bench() -> dict:
     timings["pagerank_edges_per_s"] = round(edges * 10 / timings["pagerank"], 1)
     timings["pagerank_supersteps_per_s"] = round(pr_m["supersteps_per_s"], 3)
     timings["wcc_rounds"] = wcc_m["rounds"]
+    # release the web-phase object-store footprint before the engine
+    # graph loads its CSRs — holding both thrashes the store into spill
+    del edges_ds, pages
 
     # ---- superstep-throughput measurement: engine-scale gid graph
     # (cached; the scaling criterion is supersteps/sec + edges/sec on a

@@ -12,7 +12,9 @@ from .cdlp import CDLP
 from .bfs import BFS
 from .sssp import SSSP
 from .lcc import LCC
+from .sample import SampleNeighbors
 
-PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC)}
+PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC, SampleNeighbors)}
 
-__all__ = ["VertexProgram", "PageRank", "WCC", "CDLP", "BFS", "SSSP", "LCC", "PROGRAMS"]
+__all__ = ["VertexProgram", "PageRank", "WCC", "CDLP", "BFS", "SSSP", "LCC",
+           "SampleNeighbors", "PROGRAMS"]

@@ -145,3 +145,33 @@ def test_string_oids_and_attach(ray_session, tmp_work):
     got_comp_oid = np.array([f"https://v{i:04d}.example/" for i in by_gid["comp"].to_numpy()])
     assert np.array_equal(got_comp_oid, comp_oid)
     eng.shutdown()
+
+
+def test_sample_neighbors(ray_session, tmp_work):
+    """GNN-sampler analog (examples/gnn_sampler): deterministic random
+    and top-k-by-weight neighbor sampling."""
+    import os
+
+    n = 100
+    src, dst = fixtures.zipf_graph(n=n, m=800)
+    rng = np.random.default_rng(3)
+    w = rng.uniform(0, 10, size=len(src))
+    meta = build_graph(edges_from_numpy(src, dst, w), os.path.join(tmp_work, "smp"),
+                       3, weight_col="w")
+    eng = GraphEngine(meta)
+    try:
+        ds, _ = eng.run("sample_neighbors", {"k": 3, "strategy": "random", "seed": 7})
+        df = ds.to_pandas()
+        per = df.groupby("gid").size()
+        assert (per <= 3).all() and len(per) > 0
+        # deterministic across runs
+        ds2, _ = eng.run("sample_neighbors", {"k": 3, "strategy": "random", "seed": 7})
+        df2 = ds2.to_pandas()
+        assert df.sort_values(["gid", "sampled_gid"]).reset_index(drop=True).equals(
+            df2.sort_values(["gid", "sampled_gid"]).reset_index(drop=True))
+        # top-k picks the heaviest edges
+        ds3, _ = eng.run("sample_neighbors", {"k": 2, "strategy": "topk"})
+        df3 = ds3.to_pandas()
+        assert (df3.groupby("gid").size() <= 2).all()
+    finally:
+        eng.shutdown()
