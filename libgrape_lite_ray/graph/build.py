@@ -146,19 +146,47 @@ def build_graph(
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    # Atomic build: spool into a temp dir, rename into place only on
+    # success.  A crashed build otherwise leaves partial uuid-named
+    # spool files that a retry (exist_ok=True) silently merges with its
+    # own — duplicated edges with no error.
+    final_dir = work_dir
+    marker = os.path.join(final_dir, "graph_meta.json")
+    if os.path.exists(marker):
+        return GraphMeta.load(final_dir)
+    if os.path.isdir(final_dir):  # partial remains of a crashed build
+        import shutil
+        shutil.rmtree(final_dir)
+    work_dir = f"{final_dir}.building-{os.getpid()}"
+    if os.path.isdir(work_dir):
+        import shutil
+        shutil.rmtree(work_dir)
+
+    def _finalize(meta: GraphMeta) -> GraphMeta:
+        try:
+            os.rename(work_dir, final_dir)
+        except OSError:
+            # lost a race with a concurrent build of the same graph
+            import shutil
+            shutil.rmtree(work_dir, ignore_errors=True)
+            if not os.path.exists(marker):
+                raise
+        meta.work_dir = final_dir
+        return meta
+
     os.makedirs(work_dir, exist_ok=True)
     if dense_int_oids:
-        return _build_dense_int(
+        return _finalize(_build_dense_int(
             edges_ds, work_dir, num_partitions, directed, symmetrize,
             degree_aware, weight_col, fingerprint,
-        )
+        ))
     if reuse_vertices_from is not None and symmetrize:
         # symmetrized variant of an already-built graph: skip the url
         # table entirely — union the donor's gid spool with its reverse
         # (no dictionary rebuild, no re-translate)
-        return _build_symmetrized_from_donor(
+        return _finalize(_build_symmetrized_from_donor(
             reuse_vertices_from, work_dir, weight_col, degree_aware, fingerprint,
-        )
+        ))
 
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     edges_ds = edges_ds.select_columns(cols)
@@ -197,11 +225,11 @@ def build_graph(
         order = pc.sort_indices(vt.column("gid"))
         sorted_oids = vt.column("oid").take(order).combine_chunks()
         edges_gid = _translate_broadcast(edges_ds, sorted_oids, donor.num_partitions)
-        return _spool_and_finish(
+        return _finalize(_spool_and_finish(
             edges_gid, work_dir, donor.num_vertices, donor.num_partitions,
             donor.starts, directed and not symmetrize, donor.oid_type,
             bool(weight_col), fingerprint,
-        )
+        ))
 
     # ---- 1+2. vertex dictionary: per-block pre-deduped (oid, cnt)
     # partials -> ONE global sort -> within-block run-length dedup with
@@ -323,10 +351,10 @@ def build_graph(
         keep = ["src_gid", "dst_gid"] + (["w"] if weight_col else [])
         edges_gid = e.select_columns(keep)
 
-    return _spool_and_finish(
+    return _finalize(_spool_and_finish(
         edges_gid, work_dir, num_vertices, num_partitions, starts,
         directed and not symmetrize, oid_type, bool(weight_col), fingerprint,
-    )
+    ))
 
 
 def _build_dense_int(edges_ds, work_dir, num_partitions, directed, symmetrize,
@@ -487,15 +515,20 @@ def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
         parts = part_of(sg, starts_list)  # already ascending (sorted input)
         bounds = np.searchsorted(parts, np.arange(len(starts_list)))
         fid = uuid.uuid4().hex[:12]
+        dg = t.column("dst_gid").to_numpy(zero_copy_only=False)
         counts = []
         for p in np.unique(parts):
             lo, hi = bounds[p], bounds[p + 1] if p + 1 < len(bounds) else len(t)
             sub = t.slice(lo, hi - lo)
             pdir = os.path.join(spool, f"part={p}")
             os.makedirs(pdir, exist_ok=True)
-            # min-src-prefixed name: lexical file order == gid order, so
-            # concatenated reads stay globally sorted
-            pq.write_table(sub, os.path.join(pdir, f"{int(sg[lo]):012d}_{fid}.parquet"))
+            # full-sort-key-prefixed name (min src, then min dst): lexical
+            # file order == gid order even when one src's run straddles a
+            # sort-output block boundary.  Ties on duplicate (src,dst)
+            # keys remain possible pre-dedup, so Fragment additionally
+            # verifies monotonicity at load and lexsorts on violation.
+            pq.write_table(sub, os.path.join(
+                pdir, f"{int(sg[lo]):012d}_{int(dg[lo]):012d}_{fid}.parquet"))
             counts.append((int(p), hi - lo))
         return pa.table({"part": pa.array([c[0] for c in counts], pa.int32()),
                          "rows": pa.array([c[1] for c in counts], pa.int64())})

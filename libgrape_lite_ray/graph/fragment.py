@@ -60,9 +60,18 @@ class Fragment:
             w = np.empty(0, np.float64) if has_weights else None
 
         # sort by (src, dst) — skipped when the build pre-sorted the
-        # spool (files are min-src-named so sorted glob order == gid
-        # order); then dedup (src,dst) pairs unless weighted
-        if not sorted_spool:
+        # spool (files are (min_src,min_dst)-named so sorted glob order
+        # == gid order).  Even then, VERIFY monotonicity of the
+        # concatenated stream (one O(E) vectorized pass, trivially cheap
+        # vs the parquet read): duplicate (src,dst) keys straddling a
+        # sort-output block boundary can tie on the filename prefix and
+        # land in uuid order.  Silent CSR corruption otherwise — see
+        # VERDICT.md round-1 bug #1.  Then dedup unless weighted.
+        need_sort = not sorted_spool
+        if sorted_spool and len(src) > 1:
+            mono = (src[1:] > src[:-1]) | ((src[1:] == src[:-1]) & (dst[1:] >= dst[:-1]))
+            need_sort = not bool(mono.all())
+        if need_sort and len(src) > 1:
             order = np.lexsort((dst, src))
             src, dst = src[order], dst[order]
             if w is not None:
