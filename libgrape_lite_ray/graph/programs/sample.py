@@ -36,30 +36,37 @@ class SampleNeighbors(VertexProgram):
         return {}
 
     def update(self, rnd: int, outer_vals, msgs) -> int:
+        """Fully vectorized segment top-k: ONE lexsort over all edges
+        keyed (src, sort-key) then a rank-within-segment mask — no
+        per-vertex Python loop, so a 10M-neighbor hub costs the same
+        per-edge work as any other vertex (VERDICT round-1 #4).
+
+        - random: iid uniform keys; the k smallest per segment are a
+          uniform sample without replacement (deterministic per
+          (seed, partition)).
+        - topk: key = (-weight, neighbor gid) — heaviest first, ties by
+          gid, matching sampler_context.h:50-57.
+        """
         f = self.frag
         k = self.k
-        rng = np.random.default_rng([self.seed, f.part])
+        E = len(f.indices)
+        if E == 0:
+            self._src = np.empty(0, np.int64)
+            self._dst = np.empty(0, np.int64)
+            return 0
         all_gids = f.all_gids()
+        nbr = all_gids[f.indices]
+        src_seg = f.src_of_edge.astype(np.int64)
+        if self.strategy == "topk" and f.edge_w is not None:
+            order = np.lexsort((nbr, -f.edge_w, src_seg))
+        else:
+            rng = np.random.default_rng([self.seed, f.part])
+            order = np.lexsort((rng.random(E), src_seg))
         rowlens = np.diff(f.indptr)
-        out_src, out_dst = [], []
-        # vectorized per-rowlen-bucket would be nicer; rows are iterated
-        # but each row's work is numpy (fine for sampling workloads where
-        # k << degree and the output dominates)
-        for v in np.flatnonzero(rowlens > 0):
-            lo, hi = f.indptr[v], f.indptr[v + 1]
-            nbrs = all_gids[f.indices[lo:hi]]
-            if self.strategy == "topk" and f.edge_w is not None:
-                w = f.edge_w[lo:hi]
-                order = np.lexsort((nbrs, -w))[:k]
-                chosen = nbrs[order]
-            elif len(nbrs) <= k:
-                chosen = nbrs
-            else:
-                chosen = nbrs[rng.choice(len(nbrs), size=k, replace=False)]
-            out_src.extend([f.lo + v] * len(chosen))
-            out_dst.extend(chosen.tolist())
-        self._src = np.asarray(out_src, np.int64)
-        self._dst = np.asarray(out_dst, np.int64)
+        rank = np.arange(E, dtype=np.int64) - np.repeat(f.indptr[:-1], rowlens)
+        sel = order[rank < k]
+        self._src = f.lo + src_seg[sel]
+        self._dst = nbr[sel]
         return 0
 
     def output(self):

@@ -34,6 +34,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / nrm
 
 
+def _fetch_query_vecs(emb_ds, q_set: set, key: str, col: str) -> dict[int, np.ndarray]:
+    """Pushed-down distributed filter for the query rows (a `pc.is_in`
+    inside map_batches); only the handful of query vectors ever reach
+    the driver — never the corpus."""
+    import pyarrow.compute as pc
+
+    q_arr = pa.array(sorted(q_set), pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column(key).cast(pa.int64()), value_set=q_arr)
+        return b.filter(m)
+
+    hits = emb_ds.map_batches(pick, batch_format="pyarrow", batch_size=4096)
+    q_vecs: dict[int, np.ndarray] = {}
+    for b in hits.iter_batches(batch_format="pyarrow", batch_size=4096):
+        if len(b) == 0:
+            continue
+        ids = b.column(key).to_numpy(zero_copy_only=False)
+        m = _batch_matrix(b, col)
+        for i, v in enumerate(ids):
+            q_vecs[int(v)] = m[i]
+    return q_vecs
+
+
 def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
                key: str = "vec_id", col: str = "embedding") -> pa.Table:
     """Exact cosine top-k per query (self excluded).  Returns
@@ -42,14 +66,7 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
     import ray
 
     q_set = set(int(q) for q in query_ids)
-    q_vecs: dict[int, np.ndarray] = {}
-    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        ids = b.column(key).to_numpy(zero_copy_only=False)
-        hit = [i for i, v in enumerate(ids) if int(v) in q_set]
-        if hit:
-            m = _batch_matrix(b, col)
-            for i in hit:
-                q_vecs[int(ids[i])] = m[i]
+    q_vecs = _fetch_query_vecs(emb_ds, q_set, key, col)
     qids = sorted(q_vecs)
     Q = _normalize(np.stack([q_vecs[q] for q in qids]))
     q_ref = ray.put(Q)
@@ -78,6 +95,11 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
     cand = emb_ds.map_batches(PartialTopK, batch_format="pyarrow", batch_size=4096,
                               concurrency=(1, 8)).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    # a candidate may appear twice (duplicate input rows, or lsh_topk's
+    # bucket∪query union) — keep its best sim so it can't occupy two of
+    # the k ranks and push out the true k-th neighbor
+    cand = cand.sort_values("sim", ascending=False).drop_duplicates(
+        ["query_id", "neighbor_id"])
     cand = cand.sort_values(["query_id", "sim", "neighbor_id"],
                             ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).copy()
@@ -104,37 +126,33 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, n_planes: int = 12,
     p_ref = ray.put(planes)
 
     q_set = set(int(q) for q in query_ids)
-    q_vecs: dict[int, np.ndarray] = {}
-    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        ids = b.column(key).to_numpy(zero_copy_only=False)
-        for i, v in enumerate(ids):
-            if int(v) in q_set:
-                q_vecs[int(v)] = _batch_matrix(b, col)[i]
+    q_vecs = _fetch_query_vecs(emb_ds, q_set, key, col)
     qids = sorted(q_vecs)
     Q = np.stack([q_vecs[q] for q in qids])
-    q_codes = {}
+    # pack each table's sign pattern into one integer; the allowed set
+    # becomes a sorted int array so the batch filter is one np.isin
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+    allowed = set()
     for t in range(n_tables):
-        q_codes[t] = ((Q @ planes[t].T) > 0).astype(np.uint8)
-    q_code_sets = [
-        {(t, tuple(q_codes[t][qi])) for t in range(n_tables)} for qi in range(len(qids))
-    ]
-    all_codes = set().union(*q_code_sets) if q_code_sets else set()
-    codes_ref = ray.put(all_codes)
+        codes = ((Q @ planes[t].T) > 0).astype(np.int64) @ pow2
+        for c in codes:
+            allowed.add((t << np.int64(48)) | int(c))
+    allowed_arr = np.asarray(sorted(allowed), dtype=np.int64)
+    codes_ref = ray.put(allowed_arr)
 
     class BucketFilter:
         def __init__(self):
             self.planes = ray.get(p_ref)
-            self.codes = ray.get(codes_ref)
+            self.allowed = ray.get(codes_ref)
+            self.pow2 = (1 << np.arange(self.planes.shape[1])).astype(np.int64)
 
         def __call__(self, b: pa.Table) -> pa.Table:
             M = _batch_matrix(b, col)
-            ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = np.zeros(len(ids), dtype=bool)
+            keep = np.zeros(len(b), dtype=bool)
             for t in range(self.planes.shape[0]):
-                codes = ((M @ self.planes[t].T) > 0).astype(np.uint8)
-                for i in range(len(ids)):
-                    if not keep[i] and (t, tuple(codes[i])) in self.codes:
-                        keep[i] = True
+                codes = ((M @ self.planes[t].T) > 0).astype(np.int64) @ self.pow2
+                tagged = (np.int64(t) << np.int64(48)) | codes
+                keep |= np.isin(tagged, self.allowed, assume_unique=False)
             return b.filter(pa.array(keep))
 
     cand_ds = emb_ds.map_batches(BucketFilter, batch_format="pyarrow", batch_size=4096,

@@ -46,7 +46,9 @@ def exact_dedup(docs_ds, text_col: str = "text", key: str = "doc_id"):
     )
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, key)
+        # sort_values works for any orderable key dtype (nsmallest
+        # raises TypeError on string keys, e.g. url)
+        return g.sort_values(key).head(1)
 
     return hashed.groupby("h").map_groups(keep_min, batch_format="pandas")
 
@@ -123,25 +125,74 @@ def minhash_lsh_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
 
-    # verify: join text back for the (small) candidate id set
+    # verify: DISTRIBUTED semi-join of docs ⋈ candidate ids (broadcast
+    # the small candidate-id set, filter + shingle inside map_batches) —
+    # the corpus is never streamed through the driver.  Only the
+    # candidate docs' distinct-shingle sets come back (candidates <<
+    # corpus, the documented web-dedup assumption).
+    import ray
+
     need = sorted(set(cand_pdf["a"]) | set(cand_pdf["b"]))
-    texts: dict = {}
-    for b in docs_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for kid, tx in zip(b.column(key).to_pylist(), b.column(text_col).to_pylist()):
-            if kid in texts or (need and kid not in set(need)):
-                continue
-            texts[kid] = set(_shingles(tx, k))
-    a_out, b_out, j_out = [], [], []
-    for a, b in cand_pdf[["a", "b"]].itertuples(index=False):
-        sa, sb = texts.get(a, set()), texts.get(b, set())
-        denom = len(sa | sb)
-        j = len(sa & sb) / denom if denom else 0.0
-        if j >= threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(round(j, 8))
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
-                     "jaccard": pa.array(j_out, pa.float64())})
+    need_ref = ray.put(frozenset(need))
+
+    class CandidateShingles:
+        def __init__(self):
+            self.need = ray.get(need_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            kid_arr = b.column(key).to_pylist()
+            mask = np.fromiter((kk in self.need for kk in kid_arr),
+                               dtype=bool, count=len(kid_arr))
+            if not mask.any():
+                return pa.table({key: pa.array([], b.column(key).type),
+                                 "shingles": pa.array([], pa.list_(pa.string()))})
+            sub = b.filter(pa.array(mask))
+            out_k, out_s = [], []
+            for kid, tx in zip(sub.column(key).to_pylist(), sub.column(text_col).to_pylist()):
+                out_k.append(kid)
+                out_s.append(sorted(set(_shingles(tx, k))))
+            return pa.table({key: pa.array(out_k, b.column(key).type),
+                             "shingles": pa.array(out_s, pa.list_(pa.string()))})
+
+    cand_docs = docs_ds.map_batches(CandidateShingles, batch_format="pyarrow",
+                                    batch_size=4096, concurrency=(1, 8))
+    shingle_sets: dict = {}
+    for b in cand_docs.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for kid, sh in zip(b.column(key).to_pylist(), b.column("shingles").to_pylist()):
+            shingle_sets[kid] = set(sh)
+
+    # Jaccard per candidate pair in a distributed stage (broadcast the
+    # small shingle-set dict; the pair table is tiny but the stage shape
+    # scales with candidate volume)
+    import ray.data as rd
+
+    sets_ref = ray.put(shingle_sets)
+
+    class PairJaccard:
+        def __init__(self):
+            self.sets = ray.get(sets_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a_out, b_out, j_out = [], [], []
+            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+                sa, sb = self.sets.get(a, set()), self.sets.get(b, set())
+                denom = len(sa | sb)
+                j = len(sa & sb) / denom if denom else 0.0
+                if j >= threshold:
+                    a_out.append(a)
+                    b_out.append(b)
+                    j_out.append(round(j, 8))
+            return pa.table({"a": pa.array(a_out, pa.int64()),
+                             "b": pa.array(b_out, pa.int64()),
+                             "jaccard": pa.array(j_out, pa.float64())})
+
+    pairs_ds = rd.from_arrow(pa.Table.from_pandas(cand_pdf[["a", "b"]]))
+    verified = pairs_ds.map_batches(PairJaccard, batch_format="pyarrow",
+                                    batch_size=4096, concurrency=(1, 4))
+    batches = list(verified.iter_batches(batch_format="pyarrow", batch_size=10**6))
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    return pa.concat_tables(batches) if batches else empty
 
 
 # ------------------------------------------------------------------ SimHash
@@ -163,28 +214,59 @@ def simhash64(batch: pa.Table, text_col: str = "text", key: str = "doc_id") -> p
     return pa.table({key: batch.column(key), "simhash": pa.array(out.view(np.int64), pa.int64())})
 
 
-def simhash_pairs(docs_ds, text_col: str = "text", key: str = "doc_id", max_hamming: int = 3):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-element Python)."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
+                  max_hamming: int = 3, max_bucket: int = 4096):
     """Near-dup pairs with Hamming distance <= max_hamming via 4-block
     bucketing (a pair within distance 3 shares at least one 16-bit
-    block)."""
+    block).  The pair search is a DISTRIBUTED groupby over
+    (block, 16-bit code) buckets with a vectorized XOR+popcount kernel
+    per bucket; buckets above ``max_bucket`` are truncated (skew
+    guard).  Final cross-block dedup is over the (small) pair list."""
     import pandas as pd
 
     sh = docs_ds.map_batches(lambda b: simhash64(b, text_col, key),
-                             batch_format="pyarrow", batch_size=None).to_pandas()
-    sh["u"] = sh["simhash"].astype("uint64")
-    pairs = set()
-    for blk in range(4):
-        block = ((sh["u"].to_numpy() >> np.uint64(16 * blk)) & np.uint64(0xFFFF))
-        df = pd.DataFrame({"k": sh[key].to_numpy(), "u": sh["u"].to_numpy(), "b": block})
-        for _, g in df.groupby("b"):
-            ks = g["k"].to_numpy()
-            us = g["u"].to_numpy()
-            for i in range(len(ks)):
-                x = us[i] ^ us[i + 1:]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for j in np.nonzero(ham <= max_hamming)[0]:
-                    a, b2 = sorted((int(ks[i]), int(ks[i + 1 + j])))
-                    pairs.add((a, b2))
-    a = sorted(pairs)
-    return pa.table({"a": pa.array([p[0] for p in a], pa.int64()),
-                     "b": pa.array([p[1] for p in a], pa.int64())})
+                             batch_format="pyarrow", batch_size=None)
+
+    def explode_blocks(t: pa.Table) -> pa.Table:
+        u = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        kk = t.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(u)
+        ks = np.tile(kk, 4)
+        us = np.tile(u, 4)
+        blk = np.repeat(np.arange(4, dtype=np.int32), n)
+        code = (us >> (np.uint64(16) * blk.astype(np.uint64))) & np.uint64(0xFFFF)
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "u": pa.array(us.view(np.int64), pa.int64()),
+                         "blk": pa.array(blk, pa.int32()),
+                         "code": pa.array(code.view(np.int64), pa.int64())})
+
+    exploded = sh.map_batches(explode_blocks, batch_format="pyarrow", batch_size=None)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ks = g["k"].to_numpy()[:max_bucket]
+        us = g["u"].to_numpy().view(np.uint64)[:max_bucket]
+        m = len(ks)
+        if m < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ham = _popcount64(us[:, None] ^ us[None, :])
+        iu, ju = np.triu_indices(m, 1)
+        hit = ham[iu, ju] <= max_hamming
+        a = np.minimum(ks[iu[hit]], ks[ju[hit]])
+        b = np.maximum(ks[iu[hit]], ks[ju[hit]])
+        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+
+    pairs_pdf = (exploded.groupby(["blk", "code"])
+                 .map_groups(bucket_pairs, batch_format="pandas")
+                 .to_pandas().drop_duplicates().sort_values(["a", "b"]))
+    return pa.table({"a": pa.array(pairs_pdf["a"].to_numpy(), pa.int64()),
+                     "b": pa.array(pairs_pdf["b"].to_numpy(), pa.int64())})
