@@ -134,6 +134,7 @@ def build_graph(
     fingerprint: str = "",
     reuse_vertices_from: "GraphMeta | None" = None,
     dense_int_oids: bool = False,
+    vdata_ds=None,
 ) -> GraphMeta:
     """Build the on-disk graph layout from an edge Dataset with columns
     ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
@@ -141,6 +142,13 @@ def build_graph(
     ``symmetrize=True`` loads every edge in both directions (the
     reference's undirected load, types.h LoadStrategy semantics for the
     undirected apps).
+
+    ``vdata_ds``: optional Dataset of per-vertex properties with an
+    ``oid`` column plus one or more numeric value columns (the
+    reference's VDATA, basic_fragment_loader.h:300-338).  Rows whose
+    oid is not a graph vertex are dropped; graph vertices absent from
+    ``vdata_ds`` read as 0.  Mirror vdata is synced once at engine
+    start (immutable_edgecut_fragment.h:109-114 mirror vdata analog).
     """
     import ray
     import ray.data as rd
@@ -163,6 +171,8 @@ def build_graph(
         shutil.rmtree(work_dir)
 
     def _finalize(meta: GraphMeta) -> GraphMeta:
+        if vdata_ds is not None:
+            _write_vdata(vdata_ds, meta, broadcast_threshold)
         try:
             os.rename(work_dir, final_dir)
         except OSError:
@@ -550,6 +560,79 @@ def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
     meta.extra["spool_sorted"] = True
     meta.save()
     return meta
+
+
+def _write_vdata(vdata_ds, meta: GraphMeta, broadcast_threshold: int = 4_000_000):
+    """Translate a per-vertex property Dataset (oid, cols...) to gid
+    space and spool it partitioned by owner under
+    ``work_dir/vdata/part={p}/`` (ref basic_fragment_loader.h:300-338
+    vertex-data routing).  V-sized, so per-partition files are written
+    unsorted; the fragment sorts its own slice at load."""
+    import ray
+    import ray.data as rd
+
+    cols = [c for c in vdata_ds.schema().names if c != "oid"]
+    if not cols:
+        raise ValueError("vdata_ds needs at least one value column besides 'oid'")
+    starts_list = meta.starts
+    vroot = os.path.join(meta.work_dir, "vdata")
+    os.makedirs(vroot, exist_ok=True)
+
+    if meta.extra.get("identity_oids"):
+        V = meta.num_vertices
+
+        def to_gid(t: pa.Table) -> pa.Table:
+            g = t.column("oid").cast(pa.int64())
+            d = {"gid": g}
+            for c in cols:
+                d[c] = t.column(c)
+            out = pa.table(d)
+            keep = pc.and_(pc.greater_equal(g, 0), pc.less(g, V))
+            return out.filter(keep)
+
+        gidded = vdata_ds.map_batches(to_gid, batch_format="pyarrow", batch_size=None)
+    elif meta.num_vertices <= broadcast_threshold:
+        vt = pq.read_table(meta.vertices_path, columns=["oid", "gid"])
+        order = pc.sort_indices(vt.column("gid"))
+        sorted_oids = vt.column("oid").take(order).combine_chunks()
+        dict_ref = ray.put(sorted_oids)
+
+        class TranslateV:
+            def __init__(self):
+                self.oids = ray.get(dict_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                g = pc.index_in(t.column("oid"), value_set=self.oids).cast(pa.int64())
+                d = {"gid": g}
+                for c in cols:
+                    d[c] = t.column(c)
+                out = pa.table(d)
+                return out.filter(pc.is_valid(out.column("gid")))
+
+        gidded = vdata_ds.map_batches(TranslateV, batch_format="pyarrow",
+                                      batch_size=None, concurrency=(1, 8))
+    else:
+        v = rd.read_parquet(meta.vertices_path, columns=["oid", "gid"])
+        gidded = (vdata_ds.join(v, join_type="inner", on=("oid",),
+                                num_partitions=meta.num_partitions)
+                  .select_columns(["gid"] + cols))
+
+    def write_vdata(t: pa.Table) -> pa.Table:
+        g = t.column("gid").to_numpy(zero_copy_only=False)
+        parts = part_of(g, starts_list)
+        fid = uuid.uuid4().hex[:12]
+        counts = []
+        for p in np.unique(parts):
+            sub = t.filter(pa.array(parts == p))
+            pdir = os.path.join(vroot, f"part={p}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(sub, os.path.join(pdir, f"{fid}.parquet"))
+            counts.append(int(p))
+        return pa.table({"part": pa.array(counts, pa.int32())})
+
+    gidded.map_batches(write_vdata, batch_format="pyarrow", batch_size=None).materialize()
+    meta.extra["vdata_cols"] = cols
+    meta.save()
 
 
 def attach_oids(result_table: pa.Table, meta: GraphMeta, gid_col: str = "gid",

@@ -82,18 +82,57 @@ class FragmentHost:
     """Actor body: fragment + program + exchange endpoints."""
 
     def __init__(self, part_id: int, work_dir: str, starts, has_weights: bool,
-                 sorted_spool: bool = False):
+                 sorted_spool: bool = False, vdata_cols=None):
         self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
-                             has_weights, sorted_spool)
+                             has_weights, sorted_spool, vdata_cols)
         self.program = None
 
     def reload(self, part_id: int, work_dir: str, starts, has_weights: bool,
-               sorted_spool: bool = False):
+               sorted_spool: bool = False, vdata_cols=None):
         """Rebind this actor to another built graph — reusing a warm
         actor pool skips process spawn + imports (~5s for 32 actors)."""
         self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
-                             has_weights, sorted_spool)
+                             has_weights, sorted_spool, vdata_cols)
         self.program = None
+        return True
+
+    # ---------------------------------------------------------- vdata sync
+    def vdata_export(self):
+        """One-time mirror vdata sync, producer side: per requester, a
+        slice of every vdata column packed as one object (the dense
+        BatchShuffle exchange applied to VDATA at load,
+        basic_fragment_loader.h:300-338)."""
+        import ray
+
+        f = self.frag
+        if not f.vdata:
+            return {"ref": None, "dests": []}
+        dests = sorted(f.export_lids)
+        if not dests:
+            return {"ref": None, "dests": []}
+        lens = [len(f.export_lids[q]) for q in dests]
+        bundle = {
+            "d": np.asarray(dests, np.int32),
+            "o": np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+        }
+        for c, arr in f.vdata.items():
+            bundle[f"c:{c}"] = np.concatenate([arr[f.export_lids[q]] for q in dests])
+        return {"ref": ray.put(bundle), "dests": dests}
+
+    def vdata_fill(self, incoming: list):
+        """Consumer side: place received per-owner vdata slices into the
+        outer segment of every vdata_full column."""
+        import ray
+
+        f = self.frag
+        bundles = ray.get([ref for _, ref in incoming])
+        for (q, _), b in zip(incoming, bundles):
+            i = int(np.searchsorted(b["d"], f.part))
+            if i < len(b["d"]) and b["d"][i] == f.part:
+                lo, hi = b["o"][i], b["o"][i + 1]
+                a0, b0 = f.mirror_bounds[q], f.mirror_bounds[q + 1]
+                for c in f.vdata:
+                    f.vdata_full[c][f.ivnum + a0: f.ivnum + b0] = b[f"c:{c}"][lo:hi]
         return True
 
     def edge_count(self) -> int:
@@ -306,6 +345,7 @@ class GraphEngine:
 
         self.meta = meta
         P = meta.num_partitions
+        vdata_cols = meta.extra.get("vdata_cols")
         if reuse_engine is not None and len(reuse_engine.actors) == P:
             # adopt the warm pool (ownership transfers; the donor engine
             # must not be used afterwards)
@@ -313,14 +353,15 @@ class GraphEngine:
             reuse_engine.actors = []
             ray.get([
                 a.reload.remote(p, meta.work_dir, meta.starts.tolist(),
-                                meta.has_weights, bool(meta.extra.get("spool_sorted")))
+                                meta.has_weights, bool(meta.extra.get("spool_sorted")),
+                                vdata_cols)
                 for p, a in enumerate(self.actors)
             ])
         else:
             Host = ray.remote(num_cpus=num_cpus_per_actor)(FragmentHost)
             self.actors = [
                 Host.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights,
-                            bool(meta.extra.get("spool_sorted")))
+                            bool(meta.extra.get("spool_sorted")), vdata_cols)
                 for p in range(P)
             ]
         # mirror registration (one-time; csr_edgecut_fragment_base.h dest
@@ -332,6 +373,15 @@ class GraphEngine:
                 to_owner[q].append((p, pk["ref"]))
         ray.get([self.actors[q].register_from.remote(to_owner[q]) for q in range(P)])
         self.num_local_edges = sum(ray.get([a.edge_count.remote() for a in self.actors]))
+        if vdata_cols:
+            # one-time mirror vdata sync (uses the just-registered
+            # export_lids; refs routed by the driver, data stays in plasma)
+            vx = ray.get([a.vdata_export.remote() for a in self.actors])
+            v_owner: list[list] = [[] for _ in range(P)]
+            for p, pk in enumerate(vx):
+                for q in pk["dests"]:
+                    v_owner[q].append((p, pk["ref"]))
+            ray.get([self.actors[q].vdata_fill.remote(v_owner[q]) for q in range(P)])
         # prime plasma client connections between every actor pair once
         # (the first cross-actor object exchange otherwise costs seconds
         # on the first algorithm round)

@@ -38,7 +38,8 @@ __all__ = ["Fragment"]
 
 class Fragment:
     def __init__(self, part_id: int, work_dir: str, starts: np.ndarray,
-                 has_weights: bool = False, sorted_spool: bool = False):
+                 has_weights: bool = False, sorted_spool: bool = False,
+                 vdata_cols: list[str] | None = None):
         self.part = int(part_id)
         self.starts = np.asarray(starts, dtype=np.int64)
         self.num_parts = len(self.starts) - 1
@@ -114,6 +115,34 @@ class Fragment:
         # incoming mirror requests: requester part -> inner lids to export
         self.export_lids: dict[int, np.ndarray] = {}
 
+        # per-vertex property columns (VDATA,
+        # immutable_edgecut_fragment.h:109-114): dense inner arrays now;
+        # the outer (mirror) segment is filled by the engine's one-time
+        # vdata sync (vdata_full, len tvnum)
+        self.vdata: dict[str, np.ndarray] = {}
+        self.vdata_full: dict[str, np.ndarray] = {}
+        if vdata_cols:
+            vfiles = sorted(glob.glob(os.path.join(
+                work_dir, "vdata", f"part={self.part}", "*.parquet")))
+            if vfiles:
+                vt = pa.concat_tables([pq.read_table(f, columns=["gid"] + list(vdata_cols))
+                                       for f in vfiles])
+                vg = vt.column("gid").to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                vt, vg = None, np.empty(0, np.int64)
+            for c in vdata_cols:
+                if vt is not None and len(vg):
+                    vals = vt.column(c).to_numpy(zero_copy_only=False)
+                    dense = np.zeros(self.ivnum, dtype=np.float64)
+                    dense[vg - self.lo] = vals.astype(np.float64)
+                else:
+                    dense = np.zeros(self.ivnum, dtype=np.float64)
+                self.vdata[c] = dense
+                # until synced, vdata_full has zeros in the outer segment
+                full = np.zeros(self.tvnum, dtype=np.float64)
+                full[: self.ivnum] = dense
+                self.vdata_full[c] = full
+
     # ---------------------------------------------------------- id helpers
     def inner_gids(self) -> np.ndarray:
         return np.arange(self.lo, self.hi, dtype=np.int64)
@@ -171,9 +200,13 @@ class Fragment:
             return out
         starts = self.indptr[:-1]
         valid = self.indptr[1:] > starts
-        safe = np.minimum(starts, len(edge_vals) - 1)
-        sums = np.add.reduceat(edge_vals, safe)
-        out[valid] = sums[valid]
+        # reduceat over NON-EMPTY segment starts only: consecutive valid
+        # starts are adjacent in edge space, so each output spans exactly
+        # its own segment.  (Clamping empty trailing starts to len-1 —
+        # the previous approach — silently truncated the LAST vertex's
+        # final edge whenever a later vertex had zero edges.)
+        sums = np.add.reduceat(edge_vals, starts[valid])
+        out[valid] = sums
         return out
 
     def segment_min(self, edge_vals: np.ndarray, empty_fill) -> np.ndarray:
@@ -182,9 +215,8 @@ class Fragment:
             return out
         starts = self.indptr[:-1]
         valid = self.indptr[1:] > starts
-        safe = np.minimum(starts, len(edge_vals) - 1)
-        mins = np.minimum.reduceat(edge_vals, safe)
-        out[valid] = mins[valid]
+        mins = np.minimum.reduceat(edge_vals, starts[valid])
+        out[valid] = mins
         return out
 
     def push_min(self, buf: np.ndarray, edge_vals: np.ndarray):

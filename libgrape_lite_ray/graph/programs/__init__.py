@@ -13,8 +13,10 @@ from .bfs import BFS
 from .sssp import SSSP
 from .lcc import LCC
 from .sample import SampleNeighbors
+from .vdata import VDataSum
 
-PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC, SampleNeighbors)}
+PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC,
+                                SampleNeighbors, VDataSum)}
 
 __all__ = ["VertexProgram", "PageRank", "WCC", "CDLP", "BFS", "SSSP", "LCC",
-           "SampleNeighbors", "PROGRAMS"]
+           "SampleNeighbors", "VDataSum", "PROGRAMS"]

@@ -1,0 +1,48 @@
+"""Programs over per-vertex property (VDATA) columns.
+
+The reference carries vertex data from ``.v`` files into fragments and
+syncs mirror vdata at load (grape/fragment/basic_fragment_loader.h:300-338,
+immutable_edgecut_fragment.h:109-114); here vdata arrives via
+``build_graph(vdata_ds=...)`` and the engine's one-time mirror sync, so
+a program reads ``frag.vdata_full[col]`` (len tvnum: inner + mirrors).
+
+``VDataSum``: per vertex, the sum of a vdata column over its
+out-neighbors — one superstep, no exchange (mirror values were synced
+at load).  The minimal op that exercises the full VDATA path
+(translate -> route -> mirror sync -> neighbor gather).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import VertexProgram
+
+
+class VDataSum(VertexProgram):
+    name = "vdata_sum"
+    default_max_rounds = 1
+
+    def __init__(self, frag, col: str | None = None, **kw):
+        super().__init__(frag, **kw)
+        if col is None:
+            if not frag.vdata_full:
+                raise ValueError("vdata_sum requires a graph built with vdata_ds")
+            col = sorted(frag.vdata_full)[0]
+        self.col = col
+
+    def update(self, rnd: int, outer_vals, msgs) -> int:
+        f = self.frag
+        vals = f.vdata_full[self.col]
+        self._sum = f.segment_sum(vals[f.indices])
+        return 0
+
+    def output(self):
+        return {"gid": self.frag.inner_gids(), "nbr_val_sum": self._sum}
+
+    def state_dict(self):
+        return ({"s": getattr(self, "_sum", np.empty(0, np.float64))}, {"col": self.col})
+
+    def load_state(self, arrays, scalars):
+        self._sum = arrays["s"]
+        self.col = scalars.get("col", self.col)

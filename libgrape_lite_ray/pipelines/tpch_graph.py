@@ -62,6 +62,23 @@ def derived_edges(sf_dir: str, weighted: bool = False):
     return edges
 
 
+def derived_vdata(sf_dir: str):
+    """Per-vertex property table (oid, val): val = number of orders
+    whose o_orderkey maps to the vertex (integer, so engine and SQL sums
+    agree exactly)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"oid": ok % K_VERTS})
+
+    return (ds.map_batches(make, batch_format="pyarrow", batch_size=None)
+            .groupby("oid").aggregate(Count(alias_name="val")))
+
+
 def _cache_dir(sf_dir: str, variant: str) -> str:
     li = os.path.join(sf_dir, "lineitem.parquet")
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{os.path.getmtime(li)}|{variant}|v1".encode()).hexdigest()[:16]
@@ -70,7 +87,8 @@ def _cache_dir(sf_dir: str, variant: str) -> str:
 
 def graph_meta_for(sf_dir: str, variant: str = "directed", num_partitions: int = 4) -> GraphMeta:
     """Build (or load cached) derived graph. variant:
-    directed | undirected | weighted."""
+    directed | undirected | weighted | vdata (directed + per-vertex
+    order-count property)."""
     d = _cache_dir(sf_dir, f"{variant}-P{num_partitions}")
     marker = os.path.join(d, "graph_meta.json")
     if os.path.exists(marker):
@@ -83,6 +101,7 @@ def graph_meta_for(sf_dir: str, variant: str = "directed", num_partitions: int =
         symmetrize=variant == "undirected",
         weight_col="w" if weighted else None,
         fingerprint=os.path.basename(d),
+        vdata_ds=derived_vdata(sf_dir) if variant == "vdata" else None,
     )
 
 
