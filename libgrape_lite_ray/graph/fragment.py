@@ -25,6 +25,7 @@ spool, cf. ImmutableEdgecutFragment::Init):
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 
 import numpy as np
@@ -34,6 +35,9 @@ import pyarrow.parquet as pq
 from ..ids import part_of
 
 __all__ = ["Fragment"]
+
+_SNAP_ARRAYS = ("indices", "indptr", "outer_gids", "src_of_edge",
+                "tgt_order", "tgt_starts", "tgt_unique", "out_degree")
 
 
 class Fragment:
@@ -49,6 +53,16 @@ class Fragment:
         self.has_weights = has_weights
 
         files = sorted(glob.glob(os.path.join(work_dir, "edges", f"part={self.part}", "*.parquet")))
+        # snapshot fast path (Serialize/Deserialize analog,
+        # immutable_edgecut_fragment.h:303-376): the finished CSR +
+        # transpose arrays are persisted once per partition, keyed by a
+        # fingerprint of the spool file list, and later loads skip the
+        # parquet read / sort / unique / transpose build entirely.
+        self._snap_path = self._snapshot_path(work_dir, files)
+        if self._snap_path and os.path.exists(self._snap_path):
+            self._load_snapshot()
+            self._load_vdata(work_dir, vdata_cols)
+            return
         if files:
             cols = ["src_gid", "dst_gid"] + (["w"] if has_weights else [])
             t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
@@ -114,34 +128,83 @@ class Fragment:
         self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
         # incoming mirror requests: requester part -> inner lids to export
         self.export_lids: dict[int, np.ndarray] = {}
+        self.loaded_from_snapshot = False
+        self._write_snapshot()
+        self._load_vdata(work_dir, vdata_cols)
 
+    # ---------------------------------------------------------- snapshot
+    def _snapshot_path(self, work_dir: str, files: list[str]) -> str | None:
+        """Snapshot file keyed by a fingerprint of the spool file list
+        (names + sizes): any rebuild of the spool changes the uuid-named
+        files, so a stale snapshot can never be read for fresh data."""
+        if not files:
+            return None
+        h = hashlib.md5()
+        for f in files:
+            h.update(os.path.basename(f).encode())
+            h.update(str(os.path.getsize(f)).encode())
+        return os.path.join(work_dir, "snapshot",
+                            f"part={self.part}-{h.hexdigest()[:16]}.npz")
+
+    def _write_snapshot(self):
+        if self._snap_path is None or os.path.exists(self._snap_path):
+            return
+        os.makedirs(os.path.dirname(self._snap_path), exist_ok=True)
+        # drop stale snapshots of this partition (older spool versions)
+        for old in glob.glob(os.path.join(
+                os.path.dirname(self._snap_path), f"part={self.part}-*.npz")):
+            if old != self._snap_path:
+                try:
+                    os.remove(old)
+                except OSError:
+                    pass
+        arrays = {k: getattr(self, k) for k in _SNAP_ARRAYS}
+        if self.edge_w is not None:
+            arrays["edge_w"] = self.edge_w
+        tmp = f"{self._snap_path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, self._snap_path)
+
+    def _load_snapshot(self):
+        z = np.load(self._snap_path, allow_pickle=False)
+        for k in _SNAP_ARRAYS:
+            setattr(self, k, z[k])
+        self.edge_w = z["edge_w"] if "edge_w" in z.files else None
+        self.num_local_edges = len(self.indices)
+        self.ovnum = len(self.outer_gids)
+        self.tvnum = self.ivnum + self.ovnum
+        self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
+        self.export_lids = {}
+        self.loaded_from_snapshot = True
+
+    def _load_vdata(self, work_dir: str, vdata_cols):
         # per-vertex property columns (VDATA,
         # immutable_edgecut_fragment.h:109-114): dense inner arrays now;
         # the outer (mirror) segment is filled by the engine's one-time
         # vdata sync (vdata_full, len tvnum)
         self.vdata: dict[str, np.ndarray] = {}
         self.vdata_full: dict[str, np.ndarray] = {}
-        if vdata_cols:
-            vfiles = sorted(glob.glob(os.path.join(
-                work_dir, "vdata", f"part={self.part}", "*.parquet")))
-            if vfiles:
-                vt = pa.concat_tables([pq.read_table(f, columns=["gid"] + list(vdata_cols))
-                                       for f in vfiles])
-                vg = vt.column("gid").to_numpy(zero_copy_only=False).astype(np.int64)
-            else:
-                vt, vg = None, np.empty(0, np.int64)
-            for c in vdata_cols:
-                if vt is not None and len(vg):
-                    vals = vt.column(c).to_numpy(zero_copy_only=False)
-                    dense = np.zeros(self.ivnum, dtype=np.float64)
-                    dense[vg - self.lo] = vals.astype(np.float64)
-                else:
-                    dense = np.zeros(self.ivnum, dtype=np.float64)
-                self.vdata[c] = dense
-                # until synced, vdata_full has zeros in the outer segment
-                full = np.zeros(self.tvnum, dtype=np.float64)
-                full[: self.ivnum] = dense
-                self.vdata_full[c] = full
+        if not vdata_cols:
+            return
+        vfiles = sorted(glob.glob(os.path.join(
+            work_dir, "vdata", f"part={self.part}", "*.parquet")))
+        if vfiles:
+            vt = pa.concat_tables([pq.read_table(f, columns=["gid"] + list(vdata_cols))
+                                   for f in vfiles])
+            vg = vt.column("gid").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            vt, vg = None, np.empty(0, np.int64)
+        for c in vdata_cols:
+            dense = np.zeros(self.ivnum, dtype=np.float64)
+            if vt is not None and len(vg):
+                vals = vt.column(c).to_numpy(zero_copy_only=False)
+                dense[vg - self.lo] = vals.astype(np.float64)
+            self.vdata[c] = dense
+            # until synced, vdata_full has zeros in the outer segment
+            full = np.zeros(self.tvnum, dtype=np.float64)
+            full[: self.ivnum] = dense
+            self.vdata_full[c] = full
 
     # ---------------------------------------------------------- id helpers
     def inner_gids(self) -> np.ndarray:
