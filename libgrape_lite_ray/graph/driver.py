@@ -441,7 +441,12 @@ class GraphEngine:
                  for p, a in enumerate(self.actors)]
             )
             active = sum(x["active"] for x in res)
-            metrics["round_log"].append({"round": r, "active": active, "sent": sent})
+            step_ts = [x["step_s"] for x in res]
+            metrics["round_log"].append({
+                "round": r, "active": active, "sent": sent,
+                "step_max_s": round(max(step_ts), 4),
+                "step_med_s": round(sorted(step_ts)[len(step_ts) // 2], 4),
+            })
             metrics["rounds"] = r
             if do_ckpt:
                 self._write_manifest(ckpt_dir, program, params, r, metrics, converged=active == 0)

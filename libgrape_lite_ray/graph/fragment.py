@@ -37,7 +37,8 @@ from ..ids import part_of
 __all__ = ["Fragment"]
 
 _SNAP_ARRAYS = ("indices", "indptr", "outer_gids", "src_of_edge",
-                "tgt_order", "tgt_starts", "tgt_unique", "out_degree")
+                "tgt_order", "tgt_starts", "tgt_unique", "out_degree",
+                "src_by_tgt")
 
 
 class Fragment:
@@ -60,9 +61,14 @@ class Fragment:
         # parquet read / sort / unique / transpose build entirely.
         self._snap_path = self._snapshot_path(work_dir, files)
         if self._snap_path and os.path.exists(self._snap_path):
-            self._load_snapshot()
-            self._load_vdata(work_dir, vdata_cols)
-            return
+            if self._load_snapshot():
+                self._load_vdata(work_dir, vdata_cols)
+                return
+            # schema drift (snapshot from an older layout): rebuild
+            try:
+                os.remove(self._snap_path)
+            except OSError:
+                pass
         if files:
             cols = ["src_gid", "dst_gid"] + (["w"] if has_weights else [])
             t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
@@ -123,6 +129,12 @@ class Fragment:
         self.tgt_order = np.argsort(indices, kind="stable").astype(idx_t)
         sorted_tgts = indices[self.tgt_order]
         self.tgt_unique, self.tgt_starts = np.unique(sorted_tgts, return_index=True)
+        # CSC-ordered source ids + weights: the dense push sweep then
+        # does ONE gather (vals[src_by_tgt]) instead of gather+permute —
+        # the superstep kernels are memory-bandwidth bound, so this is a
+        # direct wall-time cut on WCC/SSSP/BFS
+        self.src_by_tgt = self.src_of_edge[self.tgt_order]
+        self.w_by_tgt = w[self.tgt_order] if w is not None else None
 
         # mirror slices per owner partition (contiguous in outer_gids)
         self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
@@ -161,22 +173,35 @@ class Fragment:
         arrays = {k: getattr(self, k) for k in _SNAP_ARRAYS}
         if self.edge_w is not None:
             arrays["edge_w"] = self.edge_w
+            arrays["w_by_tgt"] = self.w_by_tgt
         tmp = f"{self._snap_path}.tmp-{os.getpid()}"
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
         os.replace(tmp, self._snap_path)
 
-    def _load_snapshot(self):
+    def _load_snapshot(self) -> bool:
         z = np.load(self._snap_path, allow_pickle=False)
+        if not set(_SNAP_ARRAYS) <= set(z.files):
+            return False
         for k in _SNAP_ARRAYS:
             setattr(self, k, z[k])
         self.edge_w = z["edge_w"] if "edge_w" in z.files else None
+        self.w_by_tgt = z["w_by_tgt"] if "w_by_tgt" in z.files else None
         self.num_local_edges = len(self.indices)
         self.ovnum = len(self.outer_gids)
         self.tvnum = self.ivnum + self.ovnum
         self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
         self.export_lids = {}
         self.loaded_from_snapshot = True
+        # pre-fault every array now (one sequential pass each): np.load
+        # buffers are otherwise faulted in lazily DURING the first
+        # superstep, which showed up as 5s+ straggler rounds
+        for k in _SNAP_ARRAYS:
+            getattr(self, k).sum()
+        if self.edge_w is not None:
+            self.edge_w.sum()
+            self.w_by_tgt.sum()
+        return True
 
     def _load_vdata(self, work_dir: str, vdata_cols):
         # per-vertex property columns (VDATA,
@@ -298,6 +323,19 @@ class Fragment:
             return np.empty(0, np.int64)
         v = edge_vals[self.tgt_order]
         mins = np.minimum.reduceat(v, self.tgt_starts)
+        cur = buf[self.tgt_unique]
+        mask = mins < cur
+        ids = self.tgt_unique[mask]
+        buf[ids] = mins[mask]
+        return ids
+
+    def push_min_track_csc(self, buf: np.ndarray, edge_vals_csc: np.ndarray) -> np.ndarray:
+        """push_min_track for values ALREADY in CSC (target-sorted)
+        order — pair with ``vals[src_by_tgt]`` so the dense sweep is one
+        gather + one reduceat, no permutation pass."""
+        if len(edge_vals_csc) == 0:
+            return np.empty(0, np.int64)
+        mins = np.minimum.reduceat(edge_vals_csc, self.tgt_starts)
         cur = buf[self.tgt_unique]
         mask = mins < cur
         ids = self.tgt_unique[mask]

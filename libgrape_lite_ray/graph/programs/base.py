@@ -81,6 +81,12 @@ class MinPropagation(VertexProgram):
     # O(local diameter) full-edge sweeps inside ONE superstep; the BSP
     # exchange converges globally anyway with bounded, cheaper rounds
     max_local_iters = 10
+    # DENSE sweeps read every edge — at most this many per superstep.
+    # Partitions whose labels settle slowly otherwise run up to
+    # max_local_iters full-edge sweeps and straggle the whole round
+    # (3-4x observed on the 100M-edge web graph); sparse sweeps are
+    # frontier-proportional and stay cheap, so they keep the bigger cap.
+    max_dense_sweeps = 1
 
     def _init_vals(self) -> np.ndarray:
         raise NotImplementedError
@@ -89,6 +95,12 @@ class MinPropagation(VertexProgram):
         """Per-edge candidate value for the edge's destination.
         ``edge_idx=None`` means all edges in CSR order."""
         return src_vals
+
+    def _relax_csc(self, src_vals: np.ndarray) -> np.ndarray:
+        """Dense-sweep relax with per-edge values in CSC (target-sorted)
+        order; programs whose relax reads edge data override this to use
+        the CSC-permuted copy (e.g. SSSP's ``w_by_tgt``)."""
+        return self._relax(src_vals, None)
 
     def init(self) -> dict:
         f = self.frag
@@ -108,6 +120,7 @@ class MinPropagation(VertexProgram):
         if frontier is None:
             frontier = np.arange(f.ivnum, dtype=np.int64)
         iters = 0
+        dense_left = self.max_dense_sweeps
         while len(frontier):
             iters += 1
             if iters > self.max_local_iters:
@@ -119,7 +132,11 @@ class MinPropagation(VertexProgram):
             # frontier containing one hub can cover most of the edges
             fe = int((f.indptr[frontier + 1] - f.indptr[frontier]).sum())
             if fe * 4 > f.num_local_edges:
-                ids = f.push_min_track(vals, self._relax(vals[f.src_of_edge]))
+                if dense_left <= 0:
+                    self._resume_frontier = frontier
+                    break
+                dense_left -= 1
+                ids = f.push_min_track_csc(vals, self._relax_csc(vals[f.src_by_tgt]))
             else:
                 eidx, lens = f.gather_edges(frontier)
                 if len(eidx) == 0:

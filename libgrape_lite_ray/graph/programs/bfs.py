@@ -15,6 +15,8 @@ from .base import MinPropagation
 
 class BFS(MinPropagation):
     name = "bfs"
+    dtype = np.int32  # depths are tiny; 4-byte labels halve sweep traffic
+    inf = 2**30
 
     def __init__(self, frag, source: int = 0, **kw):
         super().__init__(frag, **kw)
@@ -22,7 +24,7 @@ class BFS(MinPropagation):
 
     def _init_vals(self) -> np.ndarray:
         f = self.frag
-        vals = np.full(f.tvnum, self.inf, dtype=np.int64)
+        vals = np.full(f.tvnum, self.inf, dtype=np.int32)
         if f.lo <= self.source < f.hi:
             vals[self.source - f.lo] = 0
         # a mirror of the source also starts at 0 (owner would sync it anyway)
@@ -35,6 +37,6 @@ class BFS(MinPropagation):
         return src_vals + 1
 
     def output(self):
-        d = self.vals[: self.frag.ivnum].copy()
+        d = self.vals[: self.frag.ivnum].astype(np.int64)
         d[d >= self.inf] = -1
         return {"gid": self.frag.inner_gids(), "depth": d}

@@ -140,11 +140,17 @@ class LCC(VertexProgram):
         return 0
 
     def _orient(self):
+        """Keep neighbors with LARGER (deg, gid) — lcc.h:108-121's
+        orientation.  This caps every oriented list at O(sqrt(m))
+        (a hub keeps only its few larger-degree neighbors), which bounds
+        wedge volume per vertex AND per partition on zipfian web graphs;
+        the keep-smaller direction let mid-degree vertices expand hub
+        lists and produced minutes-long wedge phases."""
         f = self.frag
         nbr_gid = f.all_gids()[f.indices]
         v_gid = f.lo + f.src_of_edge
         nd, vd = self.deg_full[f.indices], self.deg_full[f.src_of_edge]
-        keep = (nd < vd) | ((nd == vd) & (nbr_gid < v_gid))
+        keep = (nd > vd) | ((nd == vd) & (nbr_gid > v_gid))
         o_src = f.src_of_edge[keep]
         self.o_nbr_local_inner = f.indices[keep]
         self.o_nbr_gid_inner = nbr_gid[keep]

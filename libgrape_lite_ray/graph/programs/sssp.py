@@ -36,5 +36,8 @@ class SSSP(MinPropagation):
         w = self.frag.edge_w if edge_idx is None else self.frag.edge_w[edge_idx]
         return src_vals + w
 
+    def _relax_csc(self, src_vals: np.ndarray) -> np.ndarray:
+        return src_vals + self.frag.w_by_tgt
+
     def output(self):
         return {"gid": self.frag.inner_gids(), "dist": self.vals[: self.frag.ivnum]}

@@ -16,7 +16,11 @@ class WCC(MinPropagation):
     name = "wcc"
 
     def _init_vals(self) -> np.ndarray:
-        return self.frag.all_gids().astype(np.int64)
+        # labels are gids: int32 when they fit — the dense sweeps are
+        # memory-bandwidth bound, so 4-byte labels halve the traffic
+        dt = np.int32 if int(self.frag.starts[-1]) < 2**31 - 2 else np.int64
+        return self.frag.all_gids().astype(dt)
 
     def output(self):
-        return {"gid": self.frag.inner_gids(), "comp": self.vals[: self.frag.ivnum]}
+        return {"gid": self.frag.inner_gids(),
+                "comp": self.vals[: self.frag.ivnum].astype(np.int64)}
