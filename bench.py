@@ -156,6 +156,7 @@ def run_bench() -> dict:
     timings["engine_pr_edges_per_s"] = round(emeta.num_edges * 10 / timings["engine_pagerank"], 1)
     timings["engine_pr_supersteps_per_s"] = round(epr["supersteps_per_s"], 3)
     eng = GraphEngine(emeta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng)
+    eng.run("wcc", max_rounds=2)  # untimed warmup (first-touch faults)
     t0 = time.perf_counter()
     _, ewc = eng.run("wcc")
     timings["engine_wcc"] = time.perf_counter() - t0

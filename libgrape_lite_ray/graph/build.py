@@ -135,6 +135,7 @@ def build_graph(
     reuse_vertices_from: "GraphMeta | None" = None,
     dense_int_oids: bool = False,
     vdata_ds=None,
+    vertices_ds=None,
 ) -> GraphMeta:
     """Build the on-disk graph layout from an edge Dataset with columns
     ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
@@ -149,6 +150,12 @@ def build_graph(
     oid is not a graph vertex are dropped; graph vertices absent from
     ``vdata_ds`` read as 0.  Mirror vdata is synced once at engine
     start (immutable_edgecut_fragment.h:109-114 mirror vdata analog).
+
+    ``vertices_ds``: optional Dataset with an ``oid`` column declaring
+    the vertex universe explicitly (the reference's ``.v`` file,
+    ev_fragment_loader.h vfile path): vertices appearing in no edge
+    still get gids (isolated, dangling for PageRank), and a later
+    ``mutate_graph`` delta may reference them.
     """
     import ray
     import ray.data as rd
@@ -246,7 +253,17 @@ def build_graph(
     # driver-side reconciliation of runs that straddle block boundaries.
     # (A groupby + sort would be two all-to-all exchanges over the
     # vertex table; the sorted-dedup needs one.)
-    vds = _endpoint_weight_table(edges_ds).sort("oid").materialize()
+    ep = _endpoint_weight_table(edges_ds)
+    if vertices_ds is not None:
+        # explicit universe (vfile): union zero-weight rows so isolated
+        # vertices get gids too
+        def zero_cnt(t: pa.Table) -> pa.Table:
+            return pa.table({"oid": t.column("oid"),
+                             "cnt": pa.array(np.zeros(len(t), np.int64))})
+
+        ep = ep.union(vertices_ds.select_columns(["oid"]).map_batches(
+            zero_cnt, batch_format="pyarrow", batch_size=None))
+    vds = ep.sort("oid").materialize()
 
     def _block_uniques(t: pa.Table):
         """(unique oids ascending, summed weights) for a sorted block."""
