@@ -284,6 +284,48 @@ jac AS (
 SELECT a, b, ROUND(j, 8) AS jaccard FROM jac WHERE j >= 0.7 ORDER BY a, b
 """
 
+_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_transform(range(1, len(t) - 1),
+                             j -> t[j] || ' ' || t[j+1] || ' ' || t[j+2])
+    END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+exh AS (SELECT doc_id, substr(md5(s), 1, 16) AS h FROM ex),
+capped AS (
+  SELECT doc_id, h FROM exh
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) <= 256
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
+),
+shs AS (SELECT doc_id, list_distinct(shingles) AS ss FROM sh),
+jac AS (
+  SELECT p.a, p.b,
+         CASE WHEN len(list_distinct(sa.ss || sb.ss)) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.ss, sb.ss))::DOUBLE
+                   / len(list_distinct(sa.ss || sb.ss)) END AS j
+  FROM pairs p JOIN shs sa ON p.a = sa.doc_id JOIN shs sb ON p.b = sb.doc_id
+)
+SELECT a, b, ROUND(j, 8) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY a, b
+"""
+
+_EMB_NEARDUP_SQL = """
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.v, y.v), 8) AS cos
+FROM q x JOIN q y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= 0.45 ORDER BY a, b
+"""
+
 _OUT_DEGREE_SQL = f"WITH {_E} SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree FROM E GROUP BY src ORDER BY src"
 _EDGES_SQL = f"WITH {_E} SELECT src, dst FROM E ORDER BY src, dst"
 
@@ -475,6 +517,24 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir))
 
 
+def _q_ngram_pairs(sf_dir: str):
+    from libgrape_lite_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_emb_neardup(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.ann import cosine_neardup_exact
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return cosine_neardup_exact(emb, threshold=0.45)
+
+
 def _q_simhash(sf_dir: str):
     from libgrape_lite_ray.ops.dedup import simhash64
 
@@ -546,6 +606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_pairs": _q_ngram_pairs,
+        "emb_neardup": _q_emb_neardup,
         "simhash": _q_simhash,
         "image_decode": _q_image_decode,
         "sample_neighbors": _q_sample_neighbors,
@@ -573,6 +635,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSION_SQL,
         "ann_topk": _ANN_SQL,
         "minhash_pairs": _MINHASH_SQL,
+        "ngram_pairs": _NGRAM_SQL,
+        "emb_neardup": _EMB_NEARDUP_SQL,
         # simhash / image_decode / sssp: bit-twiddling signature,
         # stub decode, and weighted-shortest-path -> rows-only checks
     }

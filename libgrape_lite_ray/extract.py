@@ -20,8 +20,10 @@ text must be byte-identical to the `text` column per `url`):
   grape/graph/mutable_csr.h:313-389).
 
 The per-batch functions are vectorizable only per-row (HTML is not a
-columnar format) but operate on Arrow buffers without copies, use
-compiled regexes, and are intended to run in an actor pool
+columnar format); the html column is materialized as Python strings for
+the regex pass (unavoidable for regex-over-bytes — the batch arrives
+zero-copy from plasma, the decode copy happens here), uses compiled
+regexes, and runs in an actor pool
 (`map_batches(ExtractLinks, concurrency=N, batch_format="pyarrow")`)
 so compilation happens once per actor.
 """

@@ -652,11 +652,35 @@ def _write_vdata(vdata_ds, meta: GraphMeta, broadcast_threshold: int = 4_000_000
     meta.save()
 
 
+def attach_oids_ds(result_ds, meta: GraphMeta, gid_col: str = "gid",
+                   oid_name: str = "oid"):
+    """Distributed oid re-attach for Dataset results — the
+    local_vertex_map-style scale path: the dictionary is NEVER
+    materialized in one process; a hash-shuffle join shards both sides
+    (use for 10^9+-vertex graphs; below that ``attach_oids`` on the
+    collected table is one cheap gather)."""
+    import ray.data as rd
+
+    if meta.extra.get("identity_oids"):
+        def add(t: pa.Table) -> pa.Table:
+            return t.add_column(0, oid_name, t.column(gid_col).cast(pa.int64()))
+
+        return result_ds.map_batches(add, batch_format="pyarrow", batch_size=None)
+    v = rd.read_parquet(meta.vertices_path, columns=["oid", "gid"])
+    if oid_name != "oid":
+        v = v.rename_columns({"oid": oid_name})
+    if gid_col != "gid":
+        v = v.rename_columns({"gid": gid_col})
+    return result_ds.join(v, join_type="inner", on=(gid_col,),
+                          num_partitions=meta.num_partitions)
+
+
 def attach_oids(result_table: pa.Table, meta: GraphMeta, gid_col: str = "gid",
                 oid_name: str = "oid") -> pa.Table:
     """Re-attach original ids to a (gid, ...) result (build-time-join
     analog of global_vertex_map.h:174-209 lookups; gids are the rank in
-    the sorted oid dict so this is a pure gather)."""
+    the sorted oid dict so this is a pure gather).  Driver-side O(V);
+    for huge dictionaries use ``attach_oids_ds``."""
     if meta.extra.get("identity_oids"):
         return result_table.add_column(
             0, oid_name, result_table.column(gid_col).cast(pa.int64())

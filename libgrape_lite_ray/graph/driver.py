@@ -284,11 +284,13 @@ class FragmentHost:
         the next StartARound ingests, worker.h:87-133)."""
         t0 = time.perf_counter()
         active = self._apply(rnd, incoming)
+        t1 = time.perf_counter()
         if ckpt_dir:
             self.checkpoint(ckpt_dir, rnd)
-        ref, dests, sent, _ = self._pack(rnd + 1)
+        ref, dests, sent, pack_s = self._pack(rnd + 1)
         return {"active": int(active), "ref": ref, "dests": dests,
-                "sent": sent, "step_s": time.perf_counter() - t0}
+                "sent": sent, "step_s": time.perf_counter() - t0,
+                "apply_s": t1 - t0, "pack_s": pack_s}
 
     def output(self):
         return pa.table(self.program.output())

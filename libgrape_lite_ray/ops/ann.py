@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["brute_topk", "lsh_topk"]
+__all__ = ["brute_topk", "lsh_topk", "cosine_neardup_exact"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -109,6 +109,52 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
         "neighbor_id": pa.array(top["neighbor_id"].to_numpy(), pa.int64()),
         "rank": pa.array(top["rank"].to_numpy(), pa.int64()),
     })
+
+
+def cosine_neardup_exact(emb_ds, threshold: float = 0.45,
+                         key: str = "vec_id", col: str = "embedding") -> pa.Table:
+    """EXACT embedding-cosine near-dup pairs (cos >= threshold, a < b).
+
+    Verification baseline (O(n^2) similarities): the normalized matrix
+    is broadcast once (ray.put) and every batch computes its rows
+    against it — one matmul per batch, distributed over the corpus.
+    The broadcast side is the whole embedding table, so this is for
+    corpora that fit one worker's memory; the scale path is
+    ``dedup.embedding_neardup_pairs`` (LSH-bucketed)."""
+    import ray
+
+    ids_all, mats = [], []
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids_all.append(b.column(key).to_numpy(zero_copy_only=False).astype(np.int64))
+        mats.append(_batch_matrix(b, col))
+    ids_all = np.concatenate(ids_all)
+    M_all = _normalize(np.concatenate(mats, axis=0))
+    ref = ray.put((ids_all, M_all))
+
+    class PairEmit:
+        def __init__(self):
+            self.ids, self.M = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bid = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            Mb = _normalize(_batch_matrix(b, col))
+            sims = Mb @ self.M.T
+            hit = (sims >= threshold) & (bid[:, None] < self.ids[None, :])
+            i, j = np.nonzero(hit)
+            return pa.table({"a": pa.array(bid[i], pa.int64()),
+                             "b": pa.array(self.ids[j], pa.int64()),
+                             "cos": pa.array(np.round(sims[i, j], 8), pa.float64())})
+
+    out = emb_ds.map_batches(PairEmit, batch_format="pyarrow", batch_size=2048,
+                             concurrency=(1, 8))
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=10**6))
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    order = pa.compute.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    return t.take(order)
 
 
 def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, n_planes: int = 12,

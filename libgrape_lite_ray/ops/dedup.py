@@ -25,7 +25,9 @@ import re
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["content_hash", "exact_dedup", "minhash_signature", "minhash_lsh_pairs", "simhash64", "simhash_pairs"]
+__all__ = ["content_hash", "exact_dedup", "minhash_signature", "minhash_lsh_pairs",
+           "simhash64", "simhash_pairs", "ngram_jaccard_pairs",
+           "embedding_neardup_pairs"]
 
 _WS = re.compile(r"\S+")
 
@@ -124,12 +126,16 @@ def minhash_lsh_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
     if not len(cand_pdf):
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
+    return _verify_jaccard_pairs(docs_ds, cand_pdf, text_col, key, k, threshold)
 
-    # verify: DISTRIBUTED semi-join of docs ⋈ candidate ids (broadcast
-    # the small candidate-id set, filter + shingle inside map_batches) —
-    # the corpus is never streamed through the driver.  Only the
-    # candidate docs' distinct-shingle sets come back (candidates <<
-    # corpus, the documented web-dedup assumption).
+
+def _verify_jaccard_pairs(docs_ds, cand_pdf, text_col: str, key: str,
+                          k: int, threshold: float) -> pa.Table:
+    """DISTRIBUTED exact-Jaccard verify of candidate pairs: semi-join of
+    docs ⋈ candidate ids (broadcast the small candidate-id set, filter +
+    shingle inside map_batches) — the corpus is never streamed through
+    the driver.  Only the candidate docs' distinct-shingle sets come
+    back (candidates << corpus, the documented web-dedup assumption)."""
     import ray
 
     need = sorted(set(cand_pdf["a"]) | set(cand_pdf["b"]))
@@ -193,6 +199,116 @@ def minhash_lsh_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
     return pa.concat_tables(batches) if batches else empty
+
+
+def ngram_jaccard_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
+                        k: int = 3, threshold: float = 0.5,
+                        max_posting: int = 256):
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted
+    index: candidate pairs share >= 1 k-token shingle (any pair with
+    jaccard > 0 shares one, so recall is exact up to the ``max_posting``
+    skew cap on degenerate shingles), verified with exact Jaccard in a
+    distributed stage.  Candidate volume is bounded by
+    sum_over_shingles(posting^2); the cap keeps boilerplate shingles
+    from exploding it."""
+    import pandas as pd
+
+    def emit_shingles(b: pa.Table) -> pa.Table:
+        keys, hs = [], []
+        for kid, text in zip(b.column(key).to_pylist(), b.column(text_col).to_pylist()):
+            for s in set(_shingles(text, k)):
+                keys.append(kid)
+                hs.append(hashlib.md5(s.encode("utf-8")).hexdigest()[:16])
+        return pa.table({key: pa.array(keys, pa.int64()),
+                         "sh": pa.array(hs, pa.string())})
+
+    inv = docs_ds.map_batches(emit_shingles, batch_format="pyarrow", batch_size=None)
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[key].to_numpy())[:max_posting]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+
+    cand_pdf = (inv.groupby("sh").map_groups(posting_pairs, batch_format="pandas")
+                .to_pandas().drop_duplicates())
+    if not len(cand_pdf):
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return _verify_jaccard_pairs(docs_ds, cand_pdf, text_col, key, k, threshold)
+
+
+def embedding_neardup_pairs(emb_ds, threshold: float = 0.95,
+                            key: str = "vec_id", col: str = "embedding",
+                            n_planes: int = 8, n_tables: int = 6, seed: int = 7,
+                            max_bucket: int = 2048):
+    """Embedding-cosine near-duplicate pairs (cos >= threshold) via
+    random-hyperplane LSH blocking: candidates share a sign-pattern
+    bucket in >= 1 table (high recall at high thresholds), then exact
+    cosine within each bucket (one matmul per bucket).  Buckets above
+    ``max_bucket`` are truncated (skew guard)."""
+    import pandas as pd
+    import ray
+
+    from .ann import _batch_matrix, _normalize
+
+    first = next(iter(emb_ds.iter_batches(batch_format="pyarrow", batch_size=8)))
+    dim = _batch_matrix(first, col).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    p_ref = ray.put(planes)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+    class BucketCodes:
+        def __init__(self):
+            self.planes = ray.get(p_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            M = _normalize(_batch_matrix(b, col))
+            ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            out_k, out_t, out_c, out_v = [], [], [], []
+            for t in range(self.planes.shape[0]):
+                codes = ((M @ self.planes[t].T) > 0).astype(np.int64) @ pow2
+                out_k.append(ids)
+                out_t.append(np.full(len(ids), t, np.int64))
+                out_c.append(codes)
+                out_v.append(M)
+            return pa.table({
+                key: pa.array(np.concatenate(out_k), pa.int64()),
+                "tbl": pa.array(np.concatenate(out_t), pa.int64()),
+                "code": pa.array(np.concatenate(out_c), pa.int64()),
+                "vec": pa.array(list(np.concatenate(out_v, axis=0)),
+                                pa.list_(pa.float64())),
+            })
+
+    coded = emb_ds.map_batches(BucketCodes, batch_format="pyarrow",
+                               batch_size=2048, concurrency=(1, 8))
+
+    def bucket_cosine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key).head(max_bucket)
+        ids = g[key].to_numpy()
+        M = np.stack(g["vec"].to_numpy())
+        sims = M @ M.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame({
+            "a": ids[iu[hit]].astype(np.int64),
+            "b": ids[ju[hit]].astype(np.int64),
+            "cos": np.round(sims[iu[hit], ju[hit]], 8),
+        })
+
+    pdf = (coded.groupby(["tbl", "code"]).map_groups(bucket_cosine, batch_format="pandas")
+           .to_pandas())
+    if not len(pdf):
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    pdf = (pdf.sort_values("cos", ascending=False)
+           .drop_duplicates(["a", "b"]).sort_values(["a", "b"]))
+    return pa.table({"a": pa.array(pdf["a"].to_numpy(), pa.int64()),
+                     "b": pa.array(pdf["b"].to_numpy(), pa.int64()),
+                     "cos": pa.array(pdf["cos"].to_numpy(), pa.float64())})
 
 
 # ------------------------------------------------------------------ SimHash

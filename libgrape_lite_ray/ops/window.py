@@ -25,17 +25,21 @@ def hourly_rollup(events_ds):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
-            "hour_start_us": (
-                b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // HOUR_US * HOUR_US
-            ),
-            "n": np.ones(len(b), dtype=np.int64),
-            "v": b.column("value").to_numpy(zero_copy_only=False),
-        })
-        g = df.groupby(["user_id", "hour_start_us"], as_index=False).agg(
-            n=("n", "sum"), v=("v", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        import pyarrow.compute as pc
+
+        # pure-Arrow combiner (timestamps are non-negative, so integer
+        # divide == floor); no pandas copy inside the Arrow stage
+        ts = b.column("ts").cast(pa.int64())
+        hour = pc.multiply(pc.divide(ts, HOUR_US), HOUR_US)
+        t = pa.table({"user_id": b.column("user_id"),
+                      "hour_start_us": hour,
+                      "v": b.column("value")})
+        g = t.group_by(["user_id", "hour_start_us"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return pa.table({"user_id": g.column("user_id"),
+                         "hour_start_us": g.column("hour_start_us"),
+                         "n": g.column("v_count").cast(pa.int64()),
+                         "v": g.column("v_sum")})
 
     return (
         events_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)

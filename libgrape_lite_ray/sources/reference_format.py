@@ -14,10 +14,13 @@ with a vectorized per-batch parse.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["read_edge_file", "read_vertex_file"]
+__all__ = ["read_edge_file", "read_vertex_file", "format_result_lines",
+           "write_reference_output"]
 
 
 def _parse_lines(lines: list[str], n_cols: int, weighted: bool):
@@ -56,6 +59,41 @@ def read_edge_file(path: str, weighted: bool = False):
         return pa.table(cols)
 
     return rd.read_text(path).map_batches(parse, batch_format="numpy", batch_size=None)
+
+
+def format_result_lines(oids: np.ndarray, vals: np.ndarray) -> list[str]:
+    """Format ``oid value`` lines exactly like the reference's output
+    contexts: floats as C printf ``%.15e`` (sssp_context.h os <<
+    scientific; pagerank goldens), ``infinity`` for +inf
+    (sssp_auto_context.h:66), integers plain."""
+    if np.issubdtype(np.asarray(vals).dtype, np.floating):
+        return [f"{int(o)} infinity" if np.isinf(v) else f"{int(o)} {v:.15e}"
+                for o, v in zip(oids, vals)]
+    return [f"{int(o)} {int(v)}" for o, v in zip(oids, vals)]
+
+
+def write_reference_output(result_table: pa.Table, out_prefix: str,
+                           value_col: str, oid_col: str = "oid",
+                           num_shards: int = 1) -> list[str]:
+    """Write a per-vertex result as the reference's text output layout:
+    ``{out_prefix}/result_frag_{p}`` files of ``oid value`` lines
+    (app_tests.sh out_prefix convention), sharded by contiguous row
+    ranges.  Returns the written paths."""
+    os.makedirs(out_prefix, exist_ok=True)
+    oids = result_table.column(oid_col).to_numpy(zero_copy_only=False)
+    vals = result_table.column(value_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(oids, kind="stable")
+    oids, vals = oids[order], vals[order]
+    bounds = np.linspace(0, len(oids), num_shards + 1).astype(np.int64)
+    paths = []
+    for p in range(num_shards):
+        lines = format_result_lines(oids[bounds[p]:bounds[p + 1]],
+                                    vals[bounds[p]:bounds[p + 1]])
+        path = os.path.join(out_prefix, f"result_frag_{p}")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        paths.append(path)
+    return paths
 
 
 def read_vertex_file(path: str):

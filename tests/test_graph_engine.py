@@ -147,6 +147,32 @@ def test_string_oids_and_attach(ray_session, tmp_work):
     eng.shutdown()
 
 
+def test_attach_oids_ds_matches_gather(ray_session, tmp_work):
+    """Distributed (join) oid re-attach == the driver-side gather."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from libgrape_lite_ray.graph.build import attach_oids_ds
+
+    src, dst = fixtures.er_components()
+    s = pa.array([f"u{i:04d}" for i in src], pa.string())
+    d = pa.array([f"u{i:04d}" for i in dst], pa.string())
+    ds = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    meta = build_graph(ds, os.path.join(tmp_work, "att"), 3, symmetrize=True)
+    eng = GraphEngine(meta)
+    try:
+        out, _ = eng.run("wcc")
+        tbl = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=10**6)))
+        want = attach_oids(tbl, meta).to_pandas().sort_values("gid").reset_index(drop=True)
+        got = (attach_oids_ds(out.to_dataset(), meta).to_pandas()
+               .sort_values("gid").reset_index(drop=True)[want.columns.tolist()])
+        assert got.equals(want)
+    finally:
+        eng.shutdown()
+
+
 def test_sample_neighbors(ray_session, tmp_work):
     """GNN-sampler analog (examples/gnn_sampler): deterministic random
     and top-k-by-weight neighbor sampling."""

@@ -46,6 +46,52 @@ def test_simhash_pairs(ray_session):
     assert all(3 not in p for p in got)
 
 
+def test_ngram_jaccard_pairs(ray_session):
+    from libgrape_lite_ray.ops.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    near = base.replace("field", "meadow")
+    far = "completely different content about graph engines and arrow batches"
+    ds = _docs_ds([base, near, far, base], [1, 2, 3, 4])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = dict(((a, b), j) for a, b, j in
+               pairs[["a", "b", "jaccard"]].itertuples(index=False))
+    assert got.get((1, 4)) == 1.0  # identical docs
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
+    assert all(3 not in p for p in got)
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.ann import cosine_neardup_exact
+    from libgrape_lite_ray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(1)
+    n, d = 300, 32
+    M = rng.standard_normal((n, d))
+    M[7] = M[3] + 0.02 * rng.standard_normal(d)   # planted near-dup
+    M[20] = M[11] + 0.03 * rng.standard_normal(d)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(M.tolist(), pa.list_(pa.float64())),
+    }))
+    exact = cosine_neardup_exact(ds, threshold=0.95).to_pandas()
+    got = set(map(tuple, exact[["a", "b"]].itertuples(index=False)))
+    assert (3, 7) in got and (11, 20) in got
+    # numpy oracle: exactly the planted pairs at this threshold
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu, ju = np.triu_indices(n, 1)
+    want = set(zip(iu[S[iu, ju] >= 0.95].tolist(), ju[S[iu, ju] >= 0.95].tolist()))
+    assert got == want
+    # LSH-blocked scale path finds the planted dups too
+    lsh = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    got_lsh = set(map(tuple, lsh[["a", "b"]].itertuples(index=False)))
+    assert (3, 7) in got_lsh and (11, 20) in got_lsh
+    assert got_lsh <= want  # precision exact (verified within buckets)
+
+
 def test_lang_id(ray_session):
     from libgrape_lite_ray.ops.text import lang_id
 
