@@ -136,6 +136,7 @@ def build_graph(
     dense_int_oids: bool = False,
     vdata_ds=None,
     vertices_ds=None,
+    sort_spool: bool = True,
 ) -> GraphMeta:
     """Build the on-disk graph layout from an edge Dataset with columns
     ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
@@ -381,6 +382,7 @@ def build_graph(
     return _finalize(_spool_and_finish(
         edges_gid, work_dir, num_vertices, num_partitions, starts,
         directed and not symmetrize, oid_type, bool(weight_col), fingerprint,
+        sort_spool=sort_spool,
     ))
 
 
@@ -492,9 +494,13 @@ def _build_symmetrized_from_donor(donor: GraphMeta, work_dir: str,
         return pa.table(d)
 
     edges_gid = de.union(de.map_batches(revg, batch_format="pyarrow", batch_size=None))
+    # route-only spool: the donor rows are already in gid space, so the
+    # symmetrized variant needs no global sort — fragments lexsort their
+    # own slice once (cached by the CSR snapshot).  Cuts the biggest
+    # all-to-all of the headline pipeline (2E-row sort) entirely.
     meta = _spool_and_finish(
         edges_gid, work_dir, V, P, starts, False, donor.oid_type,
-        donor.has_weights, fingerprint,
+        donor.has_weights, fingerprint, sort_spool=False,
     )
     if donor.extra.get("identity_oids"):
         meta.extra["identity_oids"] = True
@@ -526,15 +532,49 @@ def _translate_broadcast(edges_ds, sorted_oids: pa.Array, num_partitions: int):
 
 
 def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
-                      directed, oid_type, has_weights, fingerprint) -> GraphMeta:
-    # ---- 5. spool: ONE distributed sort by (src_gid, dst_gid) — it
-    # both routes rows to their owner partition (contiguous gid ranges)
-    # and pre-orders them for CSR, so fragment actors skip their
-    # per-actor lexsort at every engine load (immutable_csr.h:100-107
-    # neighbor ordering, done once at build instead of per load)
+                      directed, oid_type, has_weights, fingerprint,
+                      sort_spool: bool = True) -> GraphMeta:
+    # ---- 5. spool.  Two strategies:
+    # - sort_spool=True: ONE distributed sort by (src_gid, dst_gid) —
+    #   routes rows to their owner partition (contiguous gid ranges)
+    #   AND pre-orders them for CSR, so fragment actors skip their
+    #   per-actor lexsort at every engine load (immutable_csr.h:100-107
+    #   neighbor ordering, done once at build instead of per load).
+    # - sort_spool=False: ROUTE-ONLY — a map-side split by owner with
+    #   no all-to-all sort network at all; fragments lexsort their own
+    #   slice once at first load and the CSR snapshot caches the
+    #   result.  This trades one cheap per-partition sort for the
+    #   cluster-wide exchange — the right default when the input is
+    #   derived from an already-routed spool (symmetrized variants).
     spool = os.path.join(work_dir, "edges")
     os.makedirs(spool, exist_ok=True)
     starts_list = starts  # closure capture (tiny)
+    if not sort_spool:
+        def route_spool(t: pa.Table) -> pa.Table:
+            sg = t.column("src_gid").to_numpy(zero_copy_only=False)
+            parts = part_of(sg, starts_list)
+            fid = uuid.uuid4().hex[:12]
+            counts = []
+            for p in np.unique(parts):
+                sub = t.filter(pa.array(parts == p))
+                pdir = os.path.join(spool, f"part={p}")
+                os.makedirs(pdir, exist_ok=True)
+                pq.write_table(sub, os.path.join(pdir, f"{fid}_{int(p)}.parquet"))
+                counts.append((int(p), len(sub)))
+            return pa.table({"part": pa.array([c[0] for c in counts], pa.int32()),
+                             "rows": pa.array([c[1] for c in counts], pa.int64())})
+
+        stats = edges_gid.map_batches(route_spool, batch_format="pyarrow", batch_size=None)
+        num_edges = int(sum(r["rows"] for r in stats.take_all()))
+        meta = GraphMeta(
+            work_dir=work_dir, num_vertices=int(num_vertices),
+            num_edges=num_edges, num_partitions=int(num_partitions),
+            starts=np.asarray(starts, dtype=np.int64), directed=directed,
+            oid_type=oid_type, has_weights=has_weights, fingerprint=fingerprint,
+        )
+        meta.extra["spool_sorted"] = False
+        meta.save()
+        return meta
     edges_gid = edges_gid.sort(["src_gid", "dst_gid"])
 
     def write_spool(t: pa.Table) -> pa.Table:
