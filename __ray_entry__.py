@@ -511,6 +511,20 @@ def _q_ann(sf_dir: str):
     return brute_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF-indexed ANN (the scale path): approximate by design, so this
+    is a rows-only check — deterministic given the fixed seed."""
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.ann import ivf_topk
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10, n_lists=32, n_probe=8)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from libgrape_lite_ray.ops.dedup import minhash_lsh_pairs
 
@@ -605,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_hourly,
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann,
+        "ann_topk_ivf": _q_ann_ivf,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_pairs": _q_ngram_pairs,
         "emb_neardup": _q_emb_neardup,

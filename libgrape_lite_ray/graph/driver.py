@@ -224,20 +224,37 @@ class FragmentHost:
                 sd.append(p)
                 sync_parts.append(vals)
                 sent += len(vals)
+        # dense mirror-push (mirror holder -> owner): the outer segment
+        # is contiguous per owner (mirror_bounds), so the per-owner
+        # payload is a zero-copy slice with NO gid column
+        pd: list[int] = []
+        push_parts: list[np.ndarray] = []
+        pv = self.program.mirror_push(rnd)
+        if pv is not None:
+            f = self.frag
+            for q in range(f.num_parts):
+                a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
+                if b > a:
+                    pd.append(q)
+                    push_parts.append(pv[a:b])
+                    sent += int(b - a)
         md: list[int] = []
         msg_cols: list[list[np.ndarray]] = []
         for p, payload in sorted(self.program.messages(rnd).items()):
             md.append(p)
             msg_cols.append([np.asarray(c) for c in payload])
             sent += int(len(payload[0]))
-        # sd/md ascending (searchsorted at the consumer)
-        dests = sorted(set(sd) | set(md))
+        # sd/pd/md ascending (searchsorted at the consumer)
+        dests = sorted(set(sd) | set(pd) | set(md))
         if not dests:
             return None, [], 0, time.perf_counter() - t0
         bundle = {
             "sd": np.asarray(sd, np.int32),
             "so": np.concatenate([[0], np.cumsum([len(v) for v in sync_parts])]).astype(np.int64),
             "sv": np.concatenate(sync_parts) if sync_parts else np.empty(0),
+            "pd": np.asarray(pd, np.int32),
+            "po": np.concatenate([[0], np.cumsum([len(v) for v in push_parts])]).astype(np.int64),
+            "pv": np.concatenate(push_parts) if push_parts else np.empty(0),
             "md": np.asarray(md, np.int32),
             "mo": np.concatenate([[0], np.cumsum([len(c[0]) for c in msg_cols])]).astype(np.int64),
             "mc": [np.concatenate([msg_cols[i][j] for i in range(len(msg_cols))])
@@ -251,6 +268,7 @@ class FragmentHost:
         f = self.frag
         outer_vals = None
         msgs = []
+        pushes = []
         # ONE batched get: 31 sequential gets cost ~5ms each in IPC
         # latency; a single vectored get resolves them together
         bundles = ray.get([ref for _, ref in incoming])
@@ -262,11 +280,17 @@ class FragmentHost:
                     outer_vals = np.zeros(f.ovnum, dtype=vals.dtype)
                 a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
                 outer_vals[a:b] = vals
+            pdk = bundle.get("pd")
+            if pdk is not None and len(pdk):
+                p_i = int(np.searchsorted(pdk, f.part))
+                if p_i < len(pdk) and pdk[p_i] == f.part:
+                    lo, hi = bundle["po"][p_i], bundle["po"][p_i + 1]
+                    pushes.append((q, bundle["pv"][lo:hi]))
             j = int(np.searchsorted(bundle["md"], f.part))
             if j < len(bundle["md"]) and bundle["md"][j] == f.part:
                 lo, hi = bundle["mo"][j], bundle["mo"][j + 1]
                 msgs.append(tuple(c[lo:hi] for c in bundle["mc"]))
-        return self.program.update(rnd, outer_vals, msgs)
+        return self.program.update(rnd, outer_vals, msgs, pushes)
 
     def produce(self, rnd: int):
         ref, dests, sent, dt = self._pack(rnd)
@@ -445,9 +469,11 @@ class GraphEngine:
             active = sum(x["active"] for x in res)
             step_ts = [x["step_s"] for x in res]
             metrics["round_log"].append({
-                "round": r, "active": active, "sent": sent,
+                "round": r, "active": int(active), "sent": int(sent),
                 "step_max_s": round(max(step_ts), 4),
                 "step_med_s": round(sorted(step_ts)[len(step_ts) // 2], 4),
+                "apply_max_s": round(max(x["apply_s"] for x in res), 4),
+                "pack_max_s": round(max(x["pack_s"] for x in res), 4),
             })
             metrics["rounds"] = r
             if do_ckpt:

@@ -22,6 +22,8 @@ count, grape/communication/communicator.h Sum) return partials from
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..fragment import Fragment
@@ -48,10 +50,21 @@ class VertexProgram:
     def mirror_values(self, rnd: int):
         return None
 
+    def mirror_push(self, rnd: int):
+        """Dense reverse sync (mirror holder -> owner): return the full
+        outer-segment value array to ship as contiguous per-owner
+        slices (no gids — the owner applies it through its registered
+        export lids), or None to use sparse ``messages`` instead.  The
+        BatchShuffle dense exchange
+        (batch_shuffle_message_manager.h:225-285) in the push
+        direction."""
+        return None
+
     def messages(self, rnd: int) -> dict[int, tuple]:
         return {}
 
-    def update(self, rnd: int, outer_vals, msgs: list[tuple]) -> int:
+    def update(self, rnd: int, outer_vals, msgs: list[tuple],
+               pushes: list[tuple] = ()) -> int:
         raise NotImplementedError
 
     def output(self) -> dict[str, np.ndarray]:
@@ -79,14 +92,21 @@ class MinPropagation(VertexProgram):
     inf = np.iinfo(np.int64).max // 2
     # cap per-round local sweeps: long in-partition chains otherwise run
     # O(local diameter) full-edge sweeps inside ONE superstep; the BSP
-    # exchange converges globally anyway with bounded, cheaper rounds
-    max_local_iters = 10
+    # exchange converges globally anyway with bounded, cheaper rounds.
+    # (env-overridable for tuning sweeps on a given graph shape)
+    max_local_iters = int(os.environ.get("LGR_MAX_LOCAL_ITERS", "10"))
     # DENSE sweeps read every edge — at most this many per superstep.
     # Partitions whose labels settle slowly otherwise run up to
     # max_local_iters full-edge sweeps and straggle the whole round
     # (3-4x observed on the 100M-edge web graph); sparse sweeps are
     # frontier-proportional and stay cheap, so they keep the bigger cap.
-    max_dense_sweeps = 1
+    max_dense_sweeps = int(os.environ.get("LGR_MAX_DENSE", "1"))
+    # when more than this fraction of mirrors changed, exchange via the
+    # DENSE mirror-push channel (contiguous value slices, no gids: half
+    # the bytes of (gid,val) pairs and a direct vectorized min at the
+    # owner) instead of sparse messages — the push/pull density switch
+    # applied to the exchange itself
+    dense_push_frac = float(os.environ.get("LGR_DENSE_PUSH_FRAC", "0.05"))
 
     def _init_vals(self) -> np.ndarray:
         raise NotImplementedError
@@ -121,6 +141,13 @@ class MinPropagation(VertexProgram):
             frontier = np.arange(f.ivnum, dtype=np.int64)
         iters = 0
         dense_left = self.max_dense_sweeps
+        # after the first sweep, keep iterating locally only while the
+        # sweep is CHEAP (frontier edge mass under ~E/16): on big dense
+        # partitions extra mid-width sweeps cost more than the extra BSP
+        # round they save (rounds are one dense-push exchange, ~0.3s),
+        # while on small graphs the floor keeps the old collapse-local-
+        # chains behavior where a round costs more than many sweeps
+        cheap_budget = max(f.num_local_edges >> 4, 65536)
         while len(frontier):
             iters += 1
             if iters > self.max_local_iters:
@@ -137,6 +164,9 @@ class MinPropagation(VertexProgram):
                     break
                 dense_left -= 1
                 ids = f.push_min_track_csc(vals, self._relax_csc(vals[f.src_by_tgt]))
+            elif iters > 1 and fe > cheap_budget:
+                self._resume_frontier = frontier
+                break
             else:
                 eidx, lens = f.gather_edges(frontier)
                 if len(eidx) == 0:
@@ -155,6 +185,13 @@ class MinPropagation(VertexProgram):
             self.pending[outer - f.ivnum] = True
             frontier = ids[ids < f.ivnum]
 
+    def mirror_push(self, rnd: int):
+        f = self.frag
+        if f.ovnum and int(self.pending.sum()) >= self.dense_push_frac * f.ovnum:
+            self.pending[:] = False
+            return self.vals[f.ivnum:]
+        return None
+
     def messages(self, rnd: int) -> dict[int, tuple]:
         f = self.frag
         out = {}
@@ -169,17 +206,32 @@ class MinPropagation(VertexProgram):
             self.pending[:] = False
         return out
 
-    def update(self, rnd: int, outer_vals, msgs: list[tuple]) -> int:
+    def update(self, rnd: int, outer_vals, msgs: list[tuple],
+               pushes: list[tuple] = ()) -> int:
         f = self.frag
         changed = 0
         frontier = None
+        fronts = []
+        for q, vv in pushes:
+            # dense push: vv aligns with export_lids[q] (the requester's
+            # sorted mirror list for us) — one vectorized compare+assign
+            lids = f.export_lids[q]
+            cur = self.vals[lids]
+            m = vv < cur
+            if m.any():
+                hit = lids[m]
+                self.vals[hit] = vv[m]
+                fronts.append(hit)
         if msgs:
             gids = np.concatenate([m[0] for m in msgs])
             vv = np.concatenate([m[1] for m in msgs])
             lids = np.unique(gids - f.lo)
             before = self.vals[lids].copy()
             np.minimum.at(self.vals, gids - f.lo, vv)
-            frontier = lids[self.vals[lids] < before]
+            fronts.append(lids[self.vals[lids] < before])
+        if fronts:
+            frontier = fronts[0] if len(fronts) == 1 else \
+                np.unique(np.concatenate(fronts))
             changed = len(frontier)
         resume = self._resume_frontier
         self._resume_frontier = None

@@ -31,7 +31,10 @@ class CDLP(VertexProgram):
         self.rounds = int(rounds)
 
     def init(self) -> dict:
-        self.labels = self.frag.all_gids().astype(np.int64)
+        # int32 labels when gids fit: halves the lexsort + exchange
+        # traffic of the per-round dense sync (output casts back)
+        dt = np.int32 if int(self.frag.starts[-1]) < 2**31 - 1 else np.int64
+        self.labels = self.frag.all_gids().astype(dt)
         self.step = 0
         self.done = self.rounds <= 0
         return {}
@@ -63,7 +66,7 @@ class CDLP(VertexProgram):
         new[seg_sorted[first]] = run_label[sel][first]
         return new
 
-    def update(self, rnd: int, outer_vals, msgs) -> int:
+    def update(self, rnd: int, outer_vals, msgs, pushes=()) -> int:
         if self.done:
             return 0
         f = self.frag
@@ -77,7 +80,8 @@ class CDLP(VertexProgram):
         return 1
 
     def output(self):
-        return {"gid": self.frag.inner_gids(), "label": self.labels[: self.frag.ivnum]}
+        return {"gid": self.frag.inner_gids(),
+                "label": self.labels[: self.frag.ivnum].astype(np.int64)}
 
     def state_dict(self):
         return ({"labels": self.labels}, {"step": self.step, "done": bool(self.done)})

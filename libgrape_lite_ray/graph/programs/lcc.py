@@ -103,7 +103,7 @@ class LCC(VertexProgram):
         return {}
 
     # ---------------------------------------------------------- update
-    def update(self, rnd: int, outer_vals, msgs) -> int:
+    def update(self, rnd: int, outer_vals, msgs, pushes=()) -> int:
         f = self.frag
         if self.stage == 0:
             if outer_vals is not None:

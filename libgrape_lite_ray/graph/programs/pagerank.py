@@ -48,7 +48,7 @@ class PageRank(VertexProgram):
     def mirror_values(self, rnd: int):
         return None if self.done else self.result
 
-    def update(self, rnd: int, outer_vals, msgs) -> int:
+    def update(self, rnd: int, outer_vals, msgs, pushes=()) -> int:
         if self.done:
             return 0
         f = self.frag

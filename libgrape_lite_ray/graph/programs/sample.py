@@ -35,7 +35,7 @@ class SampleNeighbors(VertexProgram):
     def init(self) -> dict:
         return {}
 
-    def update(self, rnd: int, outer_vals, msgs) -> int:
+    def update(self, rnd: int, outer_vals, msgs, pushes=()) -> int:
         """Fully vectorized segment top-k: ONE lexsort over all edges
         keyed (src, sort-key) then a rank-within-segment mask — no
         per-vertex Python loop, so a 10M-neighbor hub costs the same

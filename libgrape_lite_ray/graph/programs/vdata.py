@@ -31,7 +31,7 @@ class VDataSum(VertexProgram):
             col = sorted(frag.vdata_full)[0]
         self.col = col
 
-    def update(self, rnd: int, outer_vals, msgs) -> int:
+    def update(self, rnd: int, outer_vals, msgs, pushes=()) -> int:
         f = self.frag
         vals = f.vdata_full[self.col]
         self._sum = f.segment_sum(vals[f.indices])

@@ -9,6 +9,12 @@
 - ``lsh_topk``: random-hyperplane LSH bucketing as the scale path:
   candidates are restricted to probes' buckets, then re-ranked exactly.
   Recall < 1 by design; parameters documented.
+- ``ivf_topk``: inverted-file (IVF) variant — spherical k-means
+  centroids trained on a bounded sample, every vector assigned to its
+  nearest list in a distributed stage, queries probe the ``n_probe``
+  nearest lists and re-rank exactly.  The centroid matrix is the only
+  broadcast state (n_lists x dim floats), so the index scales to any
+  corpus size; recall is tunable via n_probe.
 """
 
 from __future__ import annotations
@@ -16,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["brute_topk", "lsh_topk", "cosine_neardup_exact"]
+__all__ = ["brute_topk", "lsh_topk", "ivf_topk", "cosine_neardup_exact"]
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
@@ -80,11 +86,15 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
             M = _normalize(_batch_matrix(b, col))
             sims = self.Q @ M.T  # (nq, nb)
             nq, nb = sims.shape
-            kk = min(k + 1, nb)  # +1 to survive self-exclusion
+            # mask self-matches BEFORE the partial top-k: a query row can
+            # appear MORE than once in the input (lsh/ivf candidate ∪
+            # query-row union), and each occurrence would eat a slot
+            sims[np.equal.outer(np.asarray(qids, np.int64), ids)] = -np.inf
+            kk = min(k, nb)
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []
             for qi in range(nq):
-                cols = part[qi]
+                cols = part[qi][np.isfinite(sims[qi, part[qi]])]
                 out_q.extend([qids[qi]] * len(cols))
                 out_n.extend(ids[cols].tolist())
                 out_s.extend(sims[qi, cols].tolist())
@@ -202,6 +212,81 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, n_planes: int = 12,
             return b.filter(pa.array(keep))
 
     cand_ds = emb_ds.map_batches(BucketFilter, batch_format="pyarrow", batch_size=4096,
+                                 concurrency=(1, 8))
+    return brute_topk(cand_ds.union(
+        emb_ds.map_batches(
+            lambda b: b.filter(pa.array(np.isin(b.column(key).to_numpy(zero_copy_only=False), list(q_set)))),
+            batch_format="pyarrow", batch_size=None)
+    ), query_ids, k, key, col)
+
+
+def _train_centroids(sample: np.ndarray, n_lists: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Spherical k-means on a (normalized) sample matrix — the IVF
+    coarse quantizer.  Runs on the driver: the sample is bounded
+    (``sample_size`` rows), never the corpus."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    n_lists = min(n_lists, n)
+    cent = sample[rng.choice(n, size=n_lists, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = sample[m].sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    return cent
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, n_lists: int = 32,
+             n_probe: int = 4, sample_size: int = 8192, kmeans_iters: int = 5,
+             seed: int = 42, key: str = "vec_id", col: str = "embedding") -> pa.Table:
+    """IVF ANN: train ``n_lists`` spherical-k-means centroids on a
+    bounded sample, assign every corpus vector to its nearest centroid
+    inside ``map_batches`` (broadcast centroid matrix, one matmul per
+    batch), keep only rows whose list is among each query's ``n_probe``
+    closest lists, and re-rank the surviving candidates exactly with
+    ``brute_topk``.  Same output schema as brute_topk.
+
+    At scale the assignment would be computed once and persisted as a
+    partition column (``list_id``) so repeated queries prune at the
+    read; here the filter fuses into the scan."""
+    import ray
+
+    q_set = set(int(q) for q in query_ids)
+    # bounded training sample (deterministic: first sample_size rows)
+    samp = []
+    got = 0
+    for b in emb_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        samp.append(_batch_matrix(b, col))
+        got += len(b)
+        if got >= sample_size:
+            break
+    sample = _normalize(np.concatenate(samp, axis=0)[:sample_size])
+    cent = _train_centroids(sample, n_lists, kmeans_iters, seed)
+    c_ref = ray.put(cent)
+
+    q_vecs = _fetch_query_vecs(emb_ds, q_set, key, col)
+    Q = _normalize(np.stack([q_vecs[q] for q in sorted(q_vecs)]))
+    npb = min(n_probe, len(cent))
+    probe = np.argpartition(-(Q @ cent.T), npb - 1, axis=1)[:, :npb]
+    allowed = np.unique(probe)
+    a_ref = ray.put(allowed)
+
+    class ListFilter:
+        def __init__(self):
+            self.cent = ray.get(c_ref)
+            self.allowed = ray.get(a_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            M = _normalize(_batch_matrix(b, col))
+            assign = np.argmax(M @ self.cent.T, axis=1)
+            return b.filter(pa.array(np.isin(assign, self.allowed)))
+
+    cand_ds = emb_ds.map_batches(ListFilter, batch_format="pyarrow", batch_size=4096,
                                  concurrency=(1, 8))
     return brute_topk(cand_ds.union(
         emb_ds.map_batches(

@@ -136,6 +136,17 @@ def test_ann_brute_topk(ray_session):
     approx = lsh_topk(ds, [0], k=5, n_planes=6, n_tables=6).to_pandas()
     assert 5 in approx["neighbor_id"].tolist()
 
+    # IVF path: probing all lists degenerates to exact search
+    from libgrape_lite_ray.ops.ann import ivf_topk
+
+    full = ivf_topk(ds, [0], k=5, n_lists=4, n_probe=4).to_pandas()
+    assert full["neighbor_id"].tolist() == want.tolist()
+    # narrow probe stays approximate but finds the near-duplicate
+    # (its vector shares vertex 0's list by construction)
+    narrow = ivf_topk(ds, [0], k=5, n_lists=8, n_probe=2).to_pandas()
+    assert 5 in narrow["neighbor_id"].tolist()
+    assert len(narrow) == 5 and narrow["rank"].tolist() == [1, 2, 3, 4, 5]
+
 
 def test_windows(ray_session):
     import ray.data as rd
