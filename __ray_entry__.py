@@ -555,6 +555,14 @@ def _q_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow", batch_size=None)
 
 
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (rows-only: deterministic, but the
+    64-bit sign-aggregation signature isn't practical in SQL)."""
+    from libgrape_lite_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def _q_sample_neighbors(sf_dir: str):
     """Deterministic per-partition-seeded neighbor sampling (rows-only:
     the sample is random by construction; determinism is pytest-checked)."""
@@ -624,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_pairs": _q_ngram_pairs,
         "emb_neardup": _q_emb_neardup,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "image_decode": _q_image_decode,
         "sample_neighbors": _q_sample_neighbors,
     }

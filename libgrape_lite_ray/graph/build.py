@@ -564,7 +564,13 @@ def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
             return pa.table({"part": pa.array([c[0] for c in counts], pa.int32()),
                              "rows": pa.array([c[1] for c in counts], pa.int64())})
 
-        stats = edges_gid.map_batches(route_spool, batch_format="pyarrow", batch_size=None)
+        # large coalesced batches: per-BLOCK routing on a many-block
+        # input writes O(blocks x P) tiny parquet files (8k files / 60KB
+        # each observed on the 32M-row web graph — file-open overhead
+        # then dominates every fragment load); 4M-row batches bound the
+        # file count to O(E/4M x P) real files
+        stats = edges_gid.map_batches(route_spool, batch_format="pyarrow",
+                                      batch_size=4_000_000)
         num_edges = int(sum(r["rows"] for r in stats.take_all()))
         meta = GraphMeta(
             work_dir=work_dir, num_vertices=int(num_vertices),

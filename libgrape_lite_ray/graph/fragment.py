@@ -36,7 +36,7 @@ from ..ids import part_of
 
 __all__ = ["Fragment"]
 
-_SNAP_ARRAYS = ("indices", "indptr", "outer_gids", "src_of_edge",
+_SNAP_ARRAYS = ("indices", "indptr", "outer_gids",
                 "tgt_order", "tgt_starts", "tgt_unique", "out_degree",
                 "src_by_tgt")
 
@@ -71,7 +71,12 @@ class Fragment:
                 pass
         if files:
             cols = ["src_gid", "dst_gid"] + (["w"] if has_weights else [])
-            t = pa.concat_tables([pq.read_table(f, columns=cols) for f in files])
+            # use_threads=False: each fragment actor holds a fractional
+            # CPU; Arrow's default per-process thread pool (one thread
+            # per core, PER ACTOR) oversubscribes the node ~32x and made
+            # the parallel load SLOWER than a sequential one
+            t = pa.concat_tables([pq.read_table(f, columns=cols, use_threads=False)
+                                  for f in files])
             src = t.column("src_gid").to_numpy(zero_copy_only=False).astype(np.int64)
             dst = t.column("dst_gid").to_numpy(zero_copy_only=False).astype(np.int64)
             w = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64) if has_weights else None
@@ -141,7 +146,14 @@ class Fragment:
         # incoming mirror requests: requester part -> inner lids to export
         self.export_lids: dict[int, np.ndarray] = {}
         self.loaded_from_snapshot = False
-        self._write_snapshot()
+        # snapshot write is ASYNC: ~50-100MB of npz per partition would
+        # otherwise serialize into every FIRST load (5s+ across an actor
+        # pool).  tmp-file + os.replace keeps a torn write invisible —
+        # worst case the next load just rebuilds.
+        import threading
+
+        self._snap_thread = threading.Thread(target=self._write_snapshot, daemon=True)
+        self._snap_thread.start()
         self._load_vdata(work_dir, vdata_cols)
 
     # ---------------------------------------------------------- snapshot
@@ -188,6 +200,11 @@ class Fragment:
         self.edge_w = z["edge_w"] if "edge_w" in z.files else None
         self.w_by_tgt = z["w_by_tgt"] if "w_by_tgt" in z.files else None
         self.num_local_edges = len(self.indices)
+        # recomputed, not persisted (np.repeat is cheap; the npz write
+        # and read both scale with what we store)
+        rowlens = np.diff(self.indptr)
+        self.src_of_edge = np.repeat(
+            np.arange(self.ivnum, dtype=self.indices.dtype), rowlens)
         self.ovnum = len(self.outer_gids)
         self.tvnum = self.ivnum + self.ovnum
         self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
@@ -215,7 +232,8 @@ class Fragment:
         vfiles = sorted(glob.glob(os.path.join(
             work_dir, "vdata", f"part={self.part}", "*.parquet")))
         if vfiles:
-            vt = pa.concat_tables([pq.read_table(f, columns=["gid"] + list(vdata_cols))
+            vt = pa.concat_tables([pq.read_table(f, columns=["gid"] + list(vdata_cols),
+                                                 use_threads=False)
                                    for f in vfiles])
             vg = vt.column("gid").to_numpy(zero_copy_only=False).astype(np.int64)
         else:

@@ -19,7 +19,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["fake_image_bytes", "DecodeImage", "ExtractImageFeatures"]
+__all__ = ["fake_image_bytes", "fake_video_bytes", "DecodeImage",
+           "ExtractImageFeatures", "ResizeImage", "SampleVideoFrames"]
 
 
 def fake_image_bytes(seed: int, w: int = 32, h: int = 32) -> bytes:
@@ -69,6 +70,84 @@ class DecodeImage:
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
             "mean_pixel": pa.array(means, pa.float64()),
+        })
+
+
+def fake_video_bytes(seed: int, frames: int = 16, w: int = 8, h: int = 8) -> bytes:
+    """Deterministic fake 'video': header + per-frame seeded payloads."""
+    rng = np.random.default_rng(seed)
+    body = rng.integers(0, 256, size=frames * w * h, dtype=np.uint8).tobytes()
+    return b"FAKEVID1" + bytes([frames, w, h]) + body
+
+
+class ResizeImage:
+    """Actor-pool stage: (key, image) -> (key, image) resized to
+    ``(w, h)``.  Fake format: nearest-neighbor subsample, vectorized.
+    Real formats need Pillow (import-gated; stub raises otherwise)."""
+
+    def __init__(self, w: int = 16, h: int = 16):
+        self.w, self.h = int(w), int(h)
+        try:
+            from PIL import Image
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _resize(self, raw: bytes) -> bytes:
+        if raw[:8] == b"FAKEIMG1":
+            w0, h0 = raw[8], raw[9]
+            px = np.frombuffer(raw[10:10 + w0 * h0], dtype=np.uint8).reshape(h0, w0)
+            yi = (np.arange(self.h) * h0) // self.h
+            xi = (np.arange(self.w) * w0) // self.w
+            out = px[np.ix_(yi, xi)]
+            return b"FAKEIMG1" + bytes([self.w, self.h]) + out.tobytes()
+        if self._pil is not None:
+            import io
+
+            with self._pil.open(io.BytesIO(raw)) as im:
+                buf = io.BytesIO()
+                im.resize((self.w, self.h)).save(buf, format=im.format or "PNG")
+                return buf.getvalue()
+        raise NotImplementedError("real image resize requires Pillow (not in this container)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("key"),
+            "image": pa.array([self._resize(r) for r in batch.column("image").to_pylist()],
+                              pa.binary()),
+        })
+
+
+class SampleVideoFrames:
+    """Actor-pool stage: (key, video) -> one row per sampled frame
+    (key, frame_idx, frame: binary) — evenly-spaced ``n`` frames, the
+    flat-map expansion a frame-sampling pipeline needs.  Fake format
+    decoded for real; real codecs would go behind an import-gated
+    pyav/ffmpeg branch here."""
+
+    def __init__(self, n: int = 4):
+        self.n = int(n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys_out, idx_out, frames = [], [], []
+        for key, raw in zip(batch.column("key").to_pylist(),
+                            batch.column("video").to_pylist()):
+            if raw[:8] != b"FAKEVID1":
+                raise NotImplementedError(
+                    "real video decode requires an ffmpeg binding (not in this container)")
+            nf, w, h = raw[8], raw[9], raw[10]
+            body = raw[11:]
+            take = np.unique((np.arange(self.n) * nf) // self.n) if nf else []
+            for fi in take:
+                keys_out.append(key)
+                idx_out.append(int(fi))
+                frames.append(b"FAKEIMG1" + bytes([w, h])
+                              + body[fi * w * h: (fi + 1) * w * h])
+        return pa.table({
+            "key": pa.array(keys_out),
+            "frame_idx": pa.array(idx_out, pa.int32()),
+            "frame": pa.array(frames, pa.binary()),
         })
 
 

@@ -189,3 +189,37 @@ def test_multimodal_decode(ray_session):
     feats = ds.map_batches(ExtractImageFeatures, batch_format="pyarrow",
                            batch_size=2, concurrency=1).to_pandas()
     assert len(feats) == 3 and len(feats.iloc[0]["feature"]) == 8
+
+    # resize halves dimensions; re-decode confirms the new header
+    from libgrape_lite_ray.ops.multimodal import ResizeImage
+
+    small = (ds.map_batches(ResizeImage, fn_constructor_kwargs={"w": 16, "h": 16},
+                            batch_format="pyarrow", batch_size=2, concurrency=1)
+               .map_batches(DecodeImage, batch_format="pyarrow", batch_size=2,
+                            concurrency=1).to_pandas().sort_values("key"))
+    assert small["width"].tolist() == [16, 16, 16]
+    assert small["height"].tolist() == [16, 16, 16]
+
+
+def test_video_frame_sample(ray_session):
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.multimodal import (DecodeImage, SampleVideoFrames,
+                                                  fake_video_bytes)
+
+    t = pa.table({
+        "key": pa.array([10, 11], pa.int64()),
+        "video": pa.array([fake_video_bytes(s, frames=12) for s in (1, 2)], pa.binary()),
+    })
+    out = (rd.from_arrow(t)
+             .map_batches(SampleVideoFrames, fn_constructor_kwargs={"n": 4},
+                          batch_format="pyarrow", batch_size=1, concurrency=1)
+             .to_pandas())
+    assert len(out) == 8  # 4 frames per video
+    assert sorted(out[out.key == 10]["frame_idx"]) == [0, 3, 6, 9]
+    # sampled frames decode as images
+    frames = pa.table({"key": pa.array(out["key"]),
+                       "image": pa.array(list(out["frame"]), pa.binary())})
+    dec = rd.from_arrow(frames).map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=4, concurrency=1).to_pandas()
+    assert (dec["width"] == 8).all()

@@ -24,6 +24,7 @@ def test_snapshot_roundtrip(ray_session, tmp_work):
     f1 = Fragment(1, meta.work_dir, meta.starts, False,
                   bool(meta.extra.get("spool_sorted")))
     assert not f1.loaded_from_snapshot
+    f1._snap_thread.join(30)  # snapshot writes are async now
     snaps = glob.glob(os.path.join(meta.work_dir, "snapshot", "part=1-*.npz"))
     assert len(snaps) == 1
     f2 = Fragment(1, meta.work_dir, meta.starts, False,
