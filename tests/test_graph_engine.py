@@ -201,3 +201,41 @@ def test_sample_neighbors(ray_session, tmp_work):
         assert (df3.groupby("gid").size() <= 2).all()
     finally:
         eng.shutdown()
+
+
+def test_join_translate_path_matches_broadcast(ray_session, tmp_work):
+    """Large-dictionary build path (broadcast_threshold exceeded -> two
+    Dataset.join shuffles, the local_vertex_map-style scale route,
+    grape/vertex_map/local_vertex_map.h analog) produces the same graph
+    and the same WCC results as the broadcast-dictionary path."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    src, dst = fixtures.er_components()
+    s = pa.array([f"https://v{i:04d}.example/" for i in src], pa.string())
+    d = pa.array([f"https://v{i:04d}.example/" for i in dst], pa.string())
+    ds = rd.from_arrow(pa.table({"src": s, "dst": d}))
+    m_b = build_graph(ds, os.path.join(tmp_work, "jb"), 3, symmetrize=True)
+    m_j = build_graph(ds, os.path.join(tmp_work, "jj"), 3, symmetrize=True,
+                      broadcast_threshold=0)
+    assert (m_j.num_vertices, m_j.num_edges) == (m_b.num_vertices, m_b.num_edges)
+    want = oracle.wcc(src, dst, 100)
+    for meta in (m_b, m_j):
+        eng = GraphEngine(meta)
+        try:
+            out, _ = eng.run("wcc")
+            assert np.array_equal(_result_by_gid(out, "comp"), want)
+        finally:
+            eng.shutdown()
+
+
+def test_memtune_applied():
+    """The library import applies the malloc tuning (freed heap pages
+    stay process-resident — see memtune docstring for why this is
+    load-bearing on virtualized hosts with free page reporting)."""
+    import libgrape_lite_ray  # noqa: F401
+    from libgrape_lite_ray.memtune import keep_heap_resident
+
+    assert keep_heap_resident() is True  # idempotent re-call reports active
