@@ -38,7 +38,8 @@ __all__ = ["Fragment"]
 
 _SNAP_ARRAYS = ("indices", "indptr", "outer_gids",
                 "tgt_order", "tgt_starts", "tgt_unique", "out_degree",
-                "src_by_tgt")
+                "src_by_tgt", "src_of_edge")
+_SNAP_OPTIONAL = ("edge_w", "w_by_tgt")
 
 
 class Fragment:
@@ -65,8 +66,11 @@ class Fragment:
                 self._load_vdata(work_dir, vdata_cols)
                 return
             # schema drift (snapshot from an older layout): rebuild
+            import shutil
+
             try:
-                os.remove(self._snap_path)
+                shutil.rmtree(self._snap_path) if os.path.isdir(self._snap_path) \
+                    else os.remove(self._snap_path)
             except OSError:
                 pass
         if files:
@@ -146,10 +150,10 @@ class Fragment:
         # incoming mirror requests: requester part -> inner lids to export
         self.export_lids: dict[int, np.ndarray] = {}
         self.loaded_from_snapshot = False
-        # snapshot write is ASYNC: ~50-100MB of npz per partition would
-        # otherwise serialize into every FIRST load (5s+ across an actor
-        # pool).  tmp-file + os.replace keeps a torn write invisible —
-        # worst case the next load just rebuilds.
+        # snapshot write is ASYNC: ~50-100MB of arrays per partition
+        # would otherwise serialize into every FIRST load (5s+ across an
+        # actor pool).  tmp-dir + atomic rename keeps a torn write
+        # invisible — worst case the next load just rebuilds.
         import threading
 
         self._snap_thread = threading.Thread(target=self._write_snapshot, daemon=True)
@@ -158,9 +162,17 @@ class Fragment:
 
     # ---------------------------------------------------------- snapshot
     def _snapshot_path(self, work_dir: str, files: list[str]) -> str | None:
-        """Snapshot file keyed by a fingerprint of the spool file list
-        (names + sizes): any rebuild of the spool changes the uuid-named
-        files, so a stale snapshot can never be read for fresh data."""
+        """Snapshot DIRECTORY keyed by a fingerprint of the spool file
+        list (names + sizes): any rebuild of the spool changes the
+        uuid-named files, so a stale snapshot can never be read for
+        fresh data.  One raw ``.npy`` per array so reloads can
+        memory-map (``mmap_mode='r'``): file-backed pages come from the
+        page cache instead of fresh anonymous memory — on virtualized
+        hosts (see memtune) a cold anonymous refault costs ~40us/page,
+        so mapping a still-cached snapshot is 10-100x faster than
+        np.load-into-heap, and it is shared read-only across processes.
+        The reference analog is Serialize/Deserialize
+        (immutable_edgecut_fragment.h:303-376)."""
         if not files:
             return None
         h = hashlib.md5()
@@ -168,56 +180,76 @@ class Fragment:
             h.update(os.path.basename(f).encode())
             h.update(str(os.path.getsize(f)).encode())
         return os.path.join(work_dir, "snapshot",
-                            f"part={self.part}-{h.hexdigest()[:16]}.npz")
+                            f"part={self.part}-{h.hexdigest()[:16]}")
 
     def _write_snapshot(self):
-        if self._snap_path is None or os.path.exists(self._snap_path):
+        if self._snap_path is None or os.path.isdir(self._snap_path):
             return
         os.makedirs(os.path.dirname(self._snap_path), exist_ok=True)
         # drop stale snapshots of this partition (older spool versions)
         for old in glob.glob(os.path.join(
-                os.path.dirname(self._snap_path), f"part={self.part}-*.npz")):
-            if old != self._snap_path:
+                os.path.dirname(self._snap_path), f"part={self.part}-*")):
+            if old != self._snap_path and not old.startswith(self._snap_path + ".tmp"):
                 try:
-                    os.remove(old)
+                    import shutil
+
+                    shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
                 except OSError:
                     pass
         arrays = {k: getattr(self, k) for k in _SNAP_ARRAYS}
         if self.edge_w is not None:
             arrays["edge_w"] = self.edge_w
             arrays["w_by_tgt"] = self.w_by_tgt
+        # tmp dir + atomic rename: a torn write is invisible — the next
+        # load just rebuilds from the spool
         tmp = f"{self._snap_path}.tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
-        os.replace(tmp, self._snap_path)
+        os.makedirs(tmp, exist_ok=True)
+        for k, v in arrays.items():
+            np.save(os.path.join(tmp, f"{k}.npy"), v)
+        try:
+            os.rename(tmp, self._snap_path)
+        except OSError:  # concurrent writer won the race
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _load_snapshot(self) -> bool:
-        z = np.load(self._snap_path, allow_pickle=False)
-        if not set(_SNAP_ARRAYS) <= set(z.files):
+        def _arr(name, required):
+            p = os.path.join(self._snap_path, f"{name}.npy")
+            if not os.path.exists(p):
+                return None if not required else False
+            try:
+                return np.load(p, mmap_mode="r", allow_pickle=False)
+            except ValueError:  # zero-length mmap etc: plain read
+                return np.load(p, allow_pickle=False)
+
+        if not os.path.isdir(self._snap_path):
             return False
+        loaded = {}
         for k in _SNAP_ARRAYS:
-            setattr(self, k, z[k])
-        self.edge_w = z["edge_w"] if "edge_w" in z.files else None
-        self.w_by_tgt = z["w_by_tgt"] if "w_by_tgt" in z.files else None
+            a = _arr(k, required=True)
+            if a is False:
+                return False  # older snapshot layout: rebuild
+            loaded[k] = a
+        for k, v in loaded.items():
+            setattr(self, k, v)
+        self.edge_w = _arr("edge_w", required=False)
+        self.w_by_tgt = _arr("w_by_tgt", required=False)
         self.num_local_edges = len(self.indices)
-        # recomputed, not persisted (np.repeat is cheap; the npz write
-        # and read both scale with what we store)
-        rowlens = np.diff(self.indptr)
-        self.src_of_edge = np.repeat(
-            np.arange(self.ivnum, dtype=self.indices.dtype), rowlens)
         self.ovnum = len(self.outer_gids)
         self.tvnum = self.ivnum + self.ovnum
         self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
         self.export_lids = {}
         self.loaded_from_snapshot = True
-        # pre-fault every array now (one sequential pass each): np.load
-        # buffers are otherwise faulted in lazily DURING the first
-        # superstep, which showed up as 5s+ straggler rounds
+        # pre-fault every mapped array (one sequential pass each): pages
+        # are otherwise faulted lazily DURING the first superstep, which
+        # showed up as 5s+ straggler rounds.  Reads come from the page
+        # cache (or disk at sequential speed) — never cold anon memory.
         for k in _SNAP_ARRAYS:
-            getattr(self, k).sum()
+            np.asarray(getattr(self, k)).sum()
         if self.edge_w is not None:
-            self.edge_w.sum()
-            self.w_by_tgt.sum()
+            np.asarray(self.edge_w).sum()
+            np.asarray(self.w_by_tgt).sum()
         return True
 
     def _load_vdata(self, work_dir: str, vdata_cols):

@@ -178,10 +178,19 @@ def mutate_graph(meta: GraphMeta, delta: pa.Table, out_dir: str) -> GraphMeta:
     if os.path.isdir(snap_src):
         snap_dst = os.path.join(work, "snapshot")
         os.makedirs(snap_dst, exist_ok=True)
-        for f in glob.glob(os.path.join(snap_src, "part=*.npz")):
-            p = int(os.path.basename(f).split("-")[0].split("=")[1])
-            if p not in futs:
-                os.link(f, os.path.join(snap_dst, os.path.basename(f)))
+        for sd in glob.glob(os.path.join(snap_src, "part=*")):
+            if ".tmp-" in os.path.basename(sd):
+                continue
+            p = int(os.path.basename(sd).split("-")[0].split("=")[1])
+            if p in futs:
+                continue
+            if os.path.isdir(sd):  # per-array .npy snapshot directory
+                dd = os.path.join(snap_dst, os.path.basename(sd))
+                os.makedirs(dd, exist_ok=True)
+                for f in glob.glob(os.path.join(sd, "*.npy")):
+                    os.link(f, os.path.join(dd, os.path.basename(f)))
+            else:
+                os.link(sd, os.path.join(snap_dst, os.path.basename(sd)))
     if not meta.extra.get("identity_oids") and os.path.isdir(meta.vertices_path):
         vdst = os.path.join(work, "vertices")
         os.makedirs(vdst, exist_ok=True)

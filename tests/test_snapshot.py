@@ -1,7 +1,8 @@
 """Fragment snapshot fast path (Serialize/Deserialize analog,
 immutable_edgecut_fragment.h:303-376): the second load of a partition
-must come from the npz snapshot and be array-identical to the built
-fragment; a rebuilt spool must invalidate the snapshot."""
+must come from the memory-mapped per-array snapshot and be
+array-identical to the built fragment; a rebuilt spool must invalidate
+the snapshot."""
 
 import glob
 import os
@@ -25,7 +26,8 @@ def test_snapshot_roundtrip(ray_session, tmp_work):
                   bool(meta.extra.get("spool_sorted")))
     assert not f1.loaded_from_snapshot
     f1._snap_thread.join(30)  # snapshot writes are async now
-    snaps = glob.glob(os.path.join(meta.work_dir, "snapshot", "part=1-*.npz"))
+    snaps = [p for p in glob.glob(os.path.join(meta.work_dir, "snapshot", "part=1-*"))
+             if ".tmp-" not in p]
     assert len(snaps) == 1
     f2 = Fragment(1, meta.work_dir, meta.starts, False,
                   bool(meta.extra.get("spool_sorted")))
@@ -56,6 +58,7 @@ def test_snapshot_invalidated_by_rebuild(ray_session, tmp_work):
     meta = build_graph(edges_from_numpy(src, dst), d, 2, directed=True)
     f1 = Fragment(0, meta.work_dir, meta.starts, False, True)
     deg1 = f1.out_degree.copy()
+    f1._snap_thread.join(30)  # let the async writer finish before rmtree
     # rebuild with an extra edge: spool files change -> new fingerprint
     shutil.rmtree(d)
     src2 = np.concatenate([src, [0]])
