@@ -239,14 +239,16 @@ def run_scaling():
     eff_weak = alg_lo_weak / alg_hi
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff_weak, 3),
+        "value": round(eff_alg, 3),
         "unit": "ratio",
-        "note": ("value = WEAK-scaling efficiency of the PageRank+WCC superstep "
-                 "phase (equal edges/core at 8 and 32 taskset-bound cores; the "
-                 "cluster-growth stand-in a shared-DRAM box can measure fairly). "
-                 "strong_efficiency = same-input 8->32 ratio; it under-reads on "
-                 "this box because the 8-core leg gets the whole machine's "
-                 "memory bandwidth — see BASELINE.md."),
+        "note": ("value = STRONG-scaling efficiency of the PageRank+WCC "
+                 "superstep phase (same 300M-edge input at 8 and 32 "
+                 "taskset-bound cores — the criterion's 'same job, two "
+                 "parallelism levels'). weak_efficiency = equal-edges-per-core "
+                 "leg, the cluster-growth supplement. Both under-read a real "
+                 "cluster: taskset splits cores, not DRAM bandwidth, so the "
+                 "32-core leg is bandwidth-starved per core — see BASELINE.md."),
+        "weak_efficiency": round(eff_weak, 3),
         "strong_efficiency": round(eff_alg, 3),
         "e2e_efficiency": round(eff, 3),
         f"sec_{lo}": r_lo["value"],
