@@ -326,6 +326,46 @@ FROM q x JOIN q y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.v, y.v) >= 0.45 ORDER BY a, b
 """
 
+# SimHash-in-SQL: identical md5-derived 64-bit token hashes (first 16
+# hex chars == first 8 digest bytes big-endian), per-bit +/-1 vote,
+# two's-complement int64 assembly (bit 63 via the MIN_BIGINT constant —
+# 1<<63 overflows BIGINT).  Shared CTE for signatures and pairs.
+_SIMHASH_CTES = r"""
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+th AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+bits AS MATERIALIZED (
+  SELECT doc_id, i.i AS i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) i
+  GROUP BY doc_id, i.i
+),
+sim AS MATERIALIZED (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN
+               CASE WHEN i = 63 THEN -9223372036854775807 - 1
+                    ELSE (1::BIGINT << i) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_SIMHASH_SQL = f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sim ORDER BY doc_id"
+
+# Exact O(n^2) reference for the banded pair search: the 4x16-bit
+# blocking is lossless at max_hamming<=3 (pigeonhole), so the bucketed
+# distributed search must equal the brute-force cross join.
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTES}
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+ORDER BY a, b
+"""
+
 _OUT_DEGREE_SQL = f"WITH {_E} SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree FROM E GROUP BY src ORDER BY src"
 _EDGES_SQL = f"WITH {_E} SELECT src, dst FROM E ORDER BY src, dst"
 
@@ -661,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_SQL,
         "ngram_pairs": _NGRAM_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,
-        # simhash / image_decode / sssp: bit-twiddling signature,
-        # stub decode, and weighted-shortest-path -> rows-only checks
+        "simhash": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        # ann_topk_ivf (approximate by design), image_decode (stub
+        # decode), sample_neighbors (seeded RNG) -> rows-only checks
     }
