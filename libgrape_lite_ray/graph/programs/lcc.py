@@ -23,7 +23,12 @@ import numpy as np
 
 from .base import VertexProgram
 
-_CHUNK_WEDGES = 8_000_000
+# Small chunks keep every per-wedge temporary L3-resident AND let the
+# allocator reuse the same heap pages across chunks (first-touch page
+# faults are expensive — especially under lazily-backed VM memory,
+# where an 8M-wedge chunk measured 13x slower than 256k chunks for
+# identical work).  Python per-chunk overhead is ~10us, negligible.
+_CHUNK_WEDGES = 262_144
 
 
 def _gather_segments(data: np.ndarray, indptr: np.ndarray, ids: np.ndarray):
@@ -145,97 +150,176 @@ class LCC(VertexProgram):
         (a hub keeps only its few larger-degree neighbors), which bounds
         wedge volume per vertex AND per partition on zipfian web graphs;
         the keep-smaller direction let mid-degree vertices expand hub
-        lists and produced minutes-long wedge phases."""
+        lists and produced minutes-long wedge phases.
+
+        Processed in bounded chunks: the E-sized gather/compare
+        temporaries then reuse the same heap pages instead of
+        first-touch-faulting ~10 fresh E-sized arrays (the faults, not
+        the compute, dominated this stage)."""
         f = self.frag
-        nbr_gid = f.all_gids()[f.indices]
-        v_gid = f.lo + f.src_of_edge
-        nd, vd = self.deg_full[f.indices], self.deg_full[f.src_of_edge]
-        keep = (nd > vd) | ((nd == vd) & (nbr_gid > v_gid))
+        E = f.num_local_edges
+        CH = 1 << 18
+        keep = np.empty(E, dtype=bool)
+        for s in range(0, E, CH):
+            e = min(s + CH, E)
+            idx = f.indices[s:e]
+            src = f.src_of_edge[s:e]
+            nd = self.deg_full[idx]
+            vd = self.deg_full[src]
+            inner = idx < f.ivnum
+            nbr_gid = np.empty(e - s, dtype=np.int64)
+            nbr_gid[inner] = f.lo + idx[inner]
+            out_m = ~inner
+            if out_m.any():
+                nbr_gid[out_m] = f.outer_gids[idx[out_m] - f.ivnum]
+            v_gid = f.lo + src
+            keep[s:e] = (nd > vd) | ((nd == vd) & (nbr_gid > v_gid))
         o_src = f.src_of_edge[keep]
-        self.o_nbr_local_inner = f.indices[keep]
-        self.o_nbr_gid_inner = nbr_gid[keep]
+        lids = f.indices[keep].astype(np.int32)
+        self.o_nbr_local_inner = lids
+        inner = lids < f.ivnum
+        gidn = np.empty(len(lids), dtype=np.int64)
+        gidn[inner] = f.lo + lids[inner]
+        out_m = ~inner
+        if out_m.any():
+            gidn[out_m] = f.outer_gids[lids[out_m] - f.ivnum]
+        self.o_nbr_gid_inner = gidn
         lens = np.bincount(o_src, minlength=f.ivnum)
         self.o_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
 
     def _count_triangles(self, msgs):
+        """Stream-expanded wedge counting.
+
+        The wedge (v, u, w) needs, for each adjacency ENTRY (u, w) —
+        whether from this partition's own oriented inner lists or from a
+        received mirror list — the set of inner v with oriented edge
+        (v, u).  Grouping oriented inner edges BY TARGET u (compacted to
+        the u values that occur: no tvnum-sized indptr) lets every entry
+        expand against its v-list directly, so the unified per-u
+        adjacency structure of the old kernel (4 tvnum-sized arrays +
+        an adj-sized copy, all first-touch page faults on mirror-dense
+        partitions) is never materialized; received lists are translated
+        and expanded chunk-by-chunk and immediately discarded.
+
+        Non-local w entries are dropped: the membership test needs an
+        oriented inner edge (v, w), whose w is always local, so they
+        can never close a triangle here.  Translation exploits the
+        local-id layout (inner lid = gid - lo; outer lids index the
+        SORTED outer_gids) — no tvnum-sized argsort.  Triangle hits are
+        sparse relative to wedges, so per-wedge u/w attribution arrays
+        are not materialized; the entry of each hit is recovered from
+        its wedge position via a searchsorted over cumulative v-list
+        lengths.  Reference semantics: lcc.h:154-186.
+        """
+        import os as _os
+        import time as _time
+        _prof = _os.environ.get("LGR_LCC_PROF")
+        _t0 = _time.perf_counter()
         f = self.frag
-        # unified oriented adjacency over local ids (inner own, outer received)
-        # local id lookup for arbitrary gids
-        all_gids = f.all_gids()
-        sort_idx = np.argsort(all_gids, kind="stable")
-        sorted_all = all_gids[sort_idx]
+        novnum = len(f.outer_gids)
 
         def to_local(gids):
-            i = np.searchsorted(sorted_all, gids)
-            i = np.minimum(i, len(sorted_all) - 1)
-            found = sorted_all[i] == gids
-            return sort_idx[i], found
+            inner = (gids >= f.lo) & (gids < f.hi)
+            out = np.empty(len(gids), dtype=np.int64)
+            out[inner] = gids[inner] - f.lo
+            om = ~inner
+            found = inner
+            if novnum:
+                pos = np.minimum(np.searchsorted(f.outer_gids, gids[om]),
+                                 novnum - 1)
+                found[om] = f.outer_gids[pos] == gids[om]
+                out[om] = f.ivnum + pos
+            else:
+                found[om] = False
+            return out, found
 
-        # build adjacency indptr over tvnum local ids
-        lens = np.zeros(f.tvnum, dtype=np.int64)
-        lens[: f.ivnum] = np.diff(self.o_indptr)
-        outer_chunks: list[tuple[np.ndarray, np.ndarray]] = []
-        for m in msgs:
-            u_gids, nbr_gids = m
-            u_local, _ = to_local(u_gids)
-            # group by u_local (u_gids arrive grouped per owner, repeat-encoded)
-            order = np.argsort(u_local, kind="stable")
-            ul, ng = u_local[order], nbr_gids[order]
-            uniq, starts = np.unique(ul, return_index=True)
-            counts = np.diff(np.append(starts, len(ul)))
-            lens[uniq] += counts
-            outer_chunks.append((ul, ng))
-        adj_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        adj_gids = np.empty(int(adj_indptr[-1]), dtype=np.int64)
-        # fill: cursor per local id (inner lists first, then received ones)
-        cursor = adj_indptr[:-1].copy()
-        if len(self.o_nbr_gid_inner):
-            inner_lens = np.diff(self.o_indptr)
-            n_inner_edges = len(self.o_nbr_gid_inner)
-            offs = np.arange(n_inner_edges, dtype=np.int64) - np.repeat(
-                self.o_indptr[:-1], inner_lens)
-            adj_gids[np.repeat(adj_indptr[: f.ivnum], inner_lens) + offs] = self.o_nbr_gid_inner
-            cursor[: f.ivnum] += inner_lens
-        for ul, ng in outer_chunks:
-            uniq, starts = np.unique(ul, return_index=True)
-            counts = np.diff(np.append(starts, len(ul)))
-            offs = np.arange(len(ul), dtype=np.int64) - np.repeat(starts, counts)
-            adj_gids[np.repeat(cursor[uniq], counts) + offs] = ng
-            cursor[uniq] += counts
-
-        # membership key set: (v_local, w_local) for every oriented inner edge
         tv = f.tvnum
-        v_loc_edges = np.repeat(np.arange(f.ivnum, dtype=np.int64), np.diff(self.o_indptr))
-        key_set = np.sort(v_loc_edges * tv + self.o_nbr_local_inner)
-
-        # wedge expansion in chunks over oriented inner edges
-        u_locals = self.o_nbr_local_inner
-        u_wedge_lens = lens[u_locals]
-        cum = np.cumsum(u_wedge_lens)
         tric = self.tricnt
-        start_edge = 0
-        while start_edge < len(u_locals):
-            # choose end so chunk wedge count <= _CHUNK_WEDGES
-            base = cum[start_edge - 1] if start_edge else 0
-            end_edge = int(np.searchsorted(cum, base + _CHUNK_WEDGES)) + 1
-            end_edge = min(end_edge, len(u_locals))
-            e_v = v_loc_edges[start_edge:end_edge]
-            e_u = u_locals[start_edge:end_edge]
-            w_g, lens_w = _gather_segments(adj_gids, adj_indptr, e_u)
-            if len(w_g):
-                v_rep = np.repeat(e_v, lens_w)
-                u_rep = np.repeat(e_u, lens_w)
-                w_local, found = to_local(w_g)
-                keys = v_rep * tv + w_local
-                if len(key_set):
-                    pos = np.minimum(np.searchsorted(key_set, keys), len(key_set) - 1)
-                    member = found & (key_set[pos] == keys)
-                else:
-                    member = np.zeros(len(keys), dtype=bool)
-                if member.any():
-                    hits = np.concatenate([v_rep[member], u_rep[member], w_local[member]])
-                    tric += np.bincount(hits, minlength=f.tvnum)
-            start_edge = end_edge
+        E = len(self.o_nbr_local_inner)
+        n_wedges = 0
+        if E:
+            v_loc_edges = np.repeat(
+                np.arange(f.ivnum, dtype=np.int32), np.diff(self.o_indptr))
+            # membership keys: (v, w) for every oriented inner edge,
+            # built with in-place ops (one fresh int64 array, one sort)
+            key_set = v_loc_edges.astype(np.int64)
+            key_set *= tv
+            key_set += self.o_nbr_local_inner
+            key_set.sort()
+            # by-target v-lists, compacted to occurring u — packed
+            # (u << 32 | v) single-key sort instead of argsort+gathers
+            code = self.o_nbr_local_inner.astype(np.int64)
+            code <<= 32
+            code += v_loc_edges
+            code.sort()
+            u_sorted = code >> 32
+            v_by_u = (code & 0xFFFFFFFF).astype(np.int32)
+            nb = np.empty(E, dtype=bool)
+            nb[0] = True
+            np.not_equal(u_sorted[1:], u_sorted[:-1], out=nb[1:])
+            uniq_starts = np.flatnonzero(nb)
+            uniq_u = u_sorted[uniq_starts]
+            byu_indptr = np.append(uniq_starts, E).astype(np.int64)
+            byu_lens = np.diff(byu_indptr)
+        _t1 = _time.perf_counter()
+
+        def expand(u_ent, w_ent):
+            # u_ent/w_ent: one chunk of adjacency entries (local ids)
+            nonlocal n_wedges, tric
+            ci = np.minimum(np.searchsorted(uniq_u, u_ent), len(uniq_u) - 1)
+            ok = uniq_u[ci] == u_ent
+            u_k, w_k, ci = u_ent[ok], w_ent[ok], ci[ok]
+            if not len(u_k):
+                return
+            lens_v = byu_lens[ci]
+            cum = np.cumsum(lens_v)
+            n_wedges += int(cum[-1]) if len(cum) else 0
+            s = 0
+            while s < len(u_k):
+                base = cum[s - 1] if s else 0
+                e = min(int(np.searchsorted(cum, base + _CHUNK_WEDGES)) + 1,
+                        len(u_k))
+                v_g, lens_w = _gather_segments(v_by_u, byu_indptr, ci[s:e])
+                if len(v_g):
+                    keys = v_g.astype(np.int64)
+                    keys *= tv
+                    keys += np.repeat(w_k[s:e], lens_w)
+                    pos = np.minimum(np.searchsorted(key_set, keys),
+                                     len(key_set) - 1)
+                    member = key_set[pos] == keys
+                    hit = np.flatnonzero(member)
+                    if len(hit):
+                        cum_w = np.cumsum(lens_w)
+                        ent = np.searchsorted(cum_w, hit, side="right")
+                        hits = np.concatenate(
+                            [v_g[hit], u_k[s:e][ent], w_k[s:e][ent]])
+                        tric += np.bincount(hits, minlength=tv)
+                s = e
+
+        _CH = 1 << 18
+        if E:
+            # own oriented inner lists: entry (u=src, w=nbr)
+            for s in range(0, E, _CH):
+                e = min(s + _CH, E)
+                expand(v_loc_edges[s:e], self.o_nbr_local_inner[s:e])
+            # received mirror lists, translated per chunk
+            for m in msgs:
+                u_gids = np.asarray(m[0], dtype=np.int64)
+                w_gids = np.asarray(m[1], dtype=np.int64)
+                for s in range(0, len(u_gids), _CH):
+                    e = min(s + _CH, len(u_gids))
+                    ul, uf = to_local(u_gids[s:e])
+                    wl, wf = to_local(w_gids[s:e])
+                    kf = uf & wf
+                    if kf.any():
+                        expand(ul[kf], wl[kf])
+        if _prof:
+            _t2 = _time.perf_counter()
+            n_recv = sum(len(m[0]) for m in msgs)
+            print(f"[lccprof p={f.part}] tvnum={f.tvnum} ivnum={f.ivnum} "
+                  f"recv={n_recv} wedges={n_wedges} "
+                  f"index={_t1 - _t0:.2f}s expand={_t2 - _t1:.2f}s",
+                  flush=True)
 
     def output(self):
         return {
