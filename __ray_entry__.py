@@ -343,13 +343,20 @@ bits AS MATERIALIZED (
   FROM th CROSS JOIN (SELECT unnest(range(64)) AS i) i
   GROUP BY doc_id, i.i
 ),
-sim AS MATERIALIZED (
+sim0 AS MATERIALIZED (
   SELECT doc_id,
          SUM(CASE WHEN acc > 0 THEN
                CASE WHEN i = 63 THEN -9223372036854775807 - 1
                     ELSE (1::BIGINT << i) END
              ELSE 0 END)::BIGINT AS simhash
   FROM bits GROUP BY doc_id
+),
+sim AS MATERIALIZED (
+  -- a document with zero \S+ tokens vanishes after the unnest, but
+  -- simhash64 emits signature 0 for it: LEFT JOIN back to documents
+  -- so the oracle covers empty/whitespace-only texts too
+  SELECT d.doc_id, COALESCE(s.simhash, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id
 )
 """
 
@@ -596,8 +603,11 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs (rows-only: deterministic, but the
-    64-bit sign-aggregation signature isn't practical in SQL)."""
+    """SimHash near-dup pairs, verified against the exact
+    ``_SIMHASH_PAIRS_SQL`` oracle: the 4x16-bit blocking is lossless at
+    max_hamming<=3 (pigeonhole — 4 blocks, <=3 differing bits, so at
+    least one block matches exactly), so the bucketed distributed
+    search must equal the O(n^2) brute-force cross join."""
     from libgrape_lite_ray.ops.dedup import simhash_pairs
 
     return simhash_pairs(_docs(sf_dir), max_hamming=3)

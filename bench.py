@@ -39,6 +39,9 @@ def _bench_pages_dir(n: int) -> str:
 def run_bench() -> dict:
     import ray
 
+    from libgrape_lite_ray.memtune import keep_heap_resident
+
+    keep_heap_resident()  # driver-side NumPy churn (see memtune docstring)
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,

@@ -26,11 +26,9 @@ docstrings point at the semantics being matched.
 
 __version__ = "0.1.0"
 
-# Applied at import so EVERY process that touches the library (driver,
-# fragment actors, map_batches workers) gets it: on hosts with virtio
-# free-page reporting, default glibc behavior makes per-round NumPy
-# allocation churn 20-100x slower than DRAM.  See memtune docstring;
-# opt out with LGR_NO_MALLOC_TUNE=1.
-from .memtune import keep_heap_resident as _keep_heap_resident
-
-_keep_heap_resident()
+# NOTE: the malloc tuning (memtune.keep_heap_resident) is deliberately
+# NOT applied at import time — that would ratchet RSS to high-water
+# mark in every process that merely imports the library (user drivers,
+# test runners).  It is applied where the allocation-churn workloads
+# actually run: FragmentHost actor init (graph/driver.py) and the
+# bench/CLI entry points.

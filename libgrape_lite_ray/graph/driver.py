@@ -83,6 +83,11 @@ class FragmentHost:
 
     def __init__(self, part_id: int, work_dir: str, starts, has_weights: bool,
                  sorted_spool: bool = False, vdata_cols=None):
+        # per-actor, not at library import: the superstep loop's NumPy
+        # temp churn is what needs resident-heap malloc (see memtune)
+        from ..memtune import keep_heap_resident
+
+        keep_heap_resident()
         self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
                              has_weights, sorted_spool, vdata_cols)
         self.program = None

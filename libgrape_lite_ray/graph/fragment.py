@@ -186,31 +186,43 @@ class Fragment:
         if self._snap_path is None or os.path.isdir(self._snap_path):
             return
         os.makedirs(os.path.dirname(self._snap_path), exist_ok=True)
-        # drop stale snapshots of this partition (older spool versions)
+        # drop stale snapshots of this partition (older spool versions).
+        # Skip ALL in-flight tmp dirs regardless of fingerprint — a
+        # concurrent writer for a DIFFERENT fingerprint must not have
+        # its tmp dir rmtree'd mid-write; orphans (killed writers) are
+        # instead age-gated so they can't accumulate forever.
+        import shutil
+        import time as _time
+
         for old in glob.glob(os.path.join(
                 os.path.dirname(self._snap_path), f"part={self.part}-*")):
-            if old != self._snap_path and not old.startswith(self._snap_path + ".tmp"):
-                try:
-                    import shutil
-
-                    shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
+            if old == self._snap_path:
+                continue
+            if ".tmp-" in os.path.basename(old):
+                try:  # orphaned tmp of a killed writer: reap after 1h
+                    if _time.time() - os.path.getmtime(old) < 3600:
+                        continue
                 except OSError:
-                    pass
+                    continue
+            try:
+                shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
+            except OSError:
+                pass
         arrays = {k: getattr(self, k) for k in _SNAP_ARRAYS}
         if self.edge_w is not None:
             arrays["edge_w"] = self.edge_w
             arrays["w_by_tgt"] = self.w_by_tgt
         # tmp dir + atomic rename: a torn write is invisible — the next
-        # load just rebuilds from the spool
+        # load just rebuilds from the spool.  The whole body is fenced:
+        # a concurrent reaper removing this tmp dir mid-write must not
+        # crash the daemon thread (the snapshot is simply not written).
         tmp = f"{self._snap_path}.tmp-{os.getpid()}"
-        os.makedirs(tmp, exist_ok=True)
-        for k, v in arrays.items():
-            np.save(os.path.join(tmp, f"{k}.npy"), v)
         try:
+            os.makedirs(tmp, exist_ok=True)
+            for k, v in arrays.items():
+                np.save(os.path.join(tmp, f"{k}.npy"), v)
             os.rename(tmp, self._snap_path)
-        except OSError:  # concurrent writer won the race
-            import shutil
-
+        except OSError:  # concurrent writer won the race / tmp reaped
             shutil.rmtree(tmp, ignore_errors=True)
 
     def _load_snapshot(self) -> bool:

@@ -90,6 +90,17 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
             # appear MORE than once in the input (lsh/ivf candidate ∪
             # query-row union), and each occurrence would eat a slot
             sims[np.equal.outer(np.asarray(qids, np.int64), ids)] = -np.inf
+            # mask duplicate NEIGHBOR rows within the batch too (same
+            # union can duplicate any candidate): two occurrences of one
+            # id would occupy two of the k partial slots and silently
+            # displace the batch's true k-th neighbor from the final
+            # exact top-k.  Keep the first occurrence per id.
+            if nb > 1:
+                _, first_idx = np.unique(ids, return_index=True)
+                if len(first_idx) < nb:
+                    dup = np.ones(nb, dtype=bool)
+                    dup[first_idx] = False
+                    sims[:, dup] = -np.inf
             kk = min(k, nb)
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             out_q, out_n, out_s = [], [], []

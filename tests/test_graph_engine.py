@@ -232,10 +232,21 @@ def test_join_translate_path_matches_broadcast(ray_session, tmp_work):
 
 
 def test_memtune_applied():
-    """The library import applies the malloc tuning (freed heap pages
-    stay process-resident — see memtune docstring for why this is
-    load-bearing on virtualized hosts with free page reporting)."""
-    import libgrape_lite_ray  # noqa: F401
+    """keep_heap_resident applies the malloc tuning where invoked
+    (FragmentHost init / bench entry, NOT library import — see
+    ADVICE round 2).  Gated: on non-glibc platforms or with
+    LGR_NO_MALLOC_TUNE set there is nothing to tune."""
+    import ctypes
+    import os
+
+    import pytest
+
     from libgrape_lite_ray.memtune import keep_heap_resident
 
+    if os.environ.get("LGR_NO_MALLOC_TUNE"):
+        pytest.skip("LGR_NO_MALLOC_TUNE set")
+    try:
+        ctypes.CDLL("libc.so.6").mallopt
+    except (OSError, AttributeError):
+        pytest.skip("non-glibc platform: mallopt unavailable")
     assert keep_heap_resident() is True  # idempotent re-call reports active
