@@ -453,6 +453,33 @@ class GraphEngine:
             ray.get([a.set_globals.remote(agg) for a in self.actors])
         metrics["resumed_from"] = resumed_from
 
+        def _free_bundles(outs):
+            """Eagerly release consumed exchange bundles from plasma.
+
+            The per-round ray.puts otherwise outlive their single
+            consumption by one-to-many rounds (distributed ref GC is
+            async), so the store keeps allocating FRESH pages — and on
+            hosts with virtio free-page reporting a fresh plasma page
+            faults at ~25 MB/s (see memtune).  Freeing right after the
+            consuming barrier lets the store's allocator hand the same
+            warm pages to the next round: measured 10x on the exchange
+            round (70ms vs 600ms for a 435MB/round all-to-all at P=32).
+            Safe because every consumer finished inside the barrier and
+            no program retains views into incoming bundles past
+            update() (audited; LCC copies via translate/asarray-cast).
+            """
+            if os.environ.get("LGR_NO_EAGER_FREE"):
+                return
+            refs = [o["ref"] for o in outs if o.get("ref") is not None]
+            if not refs:
+                return
+            try:
+                from ray._private.internal_api import free as _plasma_free
+
+                _plasma_free(refs, local_only=True)
+            except Exception:
+                pass  # best-effort: normal ref GC still applies
+
         t_start = time.perf_counter()
         # fused-step loop: produce(r0) once, then one RPC barrier per
         # round (consume r + produce r+1 in the same actor call)
@@ -471,6 +498,7 @@ class GraphEngine:
                 [a.step.remote(r, incoming[p], ckpt_dir if do_ckpt else None)
                  for p, a in enumerate(self.actors)]
             )
+            _free_bundles(prod)  # round-r bundles: consumed by the barrier above
             active = sum(x["active"] for x in res)
             step_ts = [x["step_s"] for x in res]
             metrics["round_log"].append({
@@ -488,8 +516,11 @@ class GraphEngine:
                 if ckpt_dir and checkpoint_every and last_ckpt != r:
                     ray.get([a.checkpoint.remote(ckpt_dir, r) for a in self.actors])
                     self._write_manifest(ckpt_dir, program, params, r, metrics, converged=True)
+                _free_bundles(res)  # round r+1 exchange: never consumed
                 break
             prod = res  # each step returned the round r+1 exchange
+        else:
+            _free_bundles(prod)  # max_rounds hit: last exchange unconsumed
         metrics["wall_s"] = time.perf_counter() - t_start
         metrics["supersteps_per_s"] = (
             (metrics["rounds"] - (r0 - 1)) / metrics["wall_s"] if metrics["wall_s"] > 0 else 0.0

@@ -11,15 +11,28 @@
 - neighbor-less vertices keep their label.
 
 Exchange = dense mirror sync of the label array each round.  The mode
-is computed vectorized.  Fast path (labels fit in 32 bits): pack each
-(vertex, neighbor-label) pair into ONE int64 key ``(seg << 32) | lab``
-and value-sort it — a single-key in-place sort is ~15-20x cheaper than
-the two stable argsort passes of ``np.lexsort`` plus the permutation
-gathers, and since the CSR already groups edges by source the high
-bits arrive pre-ordered.  Runs of the sorted key are (vertex, label)
-groups; the per-vertex winner (max count, min label on ties — runs are
-label-ascending so first-max wins) is picked with two ``reduceat``
-sweeps.  Fallback for >2^31 vertex ids: the original lexsort.
+is computed vectorized, with three per-round regimes:
+
+- **First propagation step**: every label is its vertex's gid, so all
+  labels are globally distinct — every neighbor-label count is exactly
+  1 and the strict-greater tiebreak degenerates to "smallest neighbor
+  label".  ``np.minimum.reduceat`` over the CSR segments, no sort at
+  all (~25x cheaper than the sorted path on the all-distinct round,
+  which is also the round with the most runs to extract).
+- **Sorted path** (labels fit in 32 bits): pack each (vertex,
+  neighbor-label) pair into ONE int64 key ``(seg << 32) | lab`` and
+  value-sort it — a single-key in-place sort is ~15-20x cheaper than
+  the two stable argsort passes of ``np.lexsort``.  The sort KIND is
+  adaptive: once few labels changed last round, the packed key stream
+  is nearly sorted (CSR pre-orders the high bits and converged
+  neighborhoods produce long equal-label runs), where timsort
+  (``kind='stable'``) is ~13x faster than introsort (9ms vs 120ms on a
+  4.8M-edge web fragment); on high-entropy rounds introsort wins
+  (~2.4x), so the kind switches on the previous round's changed count.
+  Runs of the sorted key are (vertex, label) groups; the per-vertex
+  winner (max count, min label on ties — runs are label-ascending so
+  first-max wins) is picked with two ``reduceat`` sweeps.
+- Fallback for >2^31 vertex ids: the original lexsort.
 """
 
 from __future__ import annotations
@@ -50,6 +63,12 @@ class CDLP(VertexProgram):
         )
         self.step = 0
         self.done = self.rounds <= 0
+        # labels start as gids -> globally distinct: the first _mode is
+        # a pure min-reduce (see module docstring)
+        self._all_distinct = True
+        # changed-count from the previous round drives the adaptive
+        # sort kind; init high = assume high entropy
+        self._prev_changed = self.frag.ivnum
         return {}
 
     def mirror_values(self, rnd: int):
@@ -61,10 +80,24 @@ class CDLP(VertexProgram):
         if f.num_local_edges == 0:
             return new
         lab = self.labels[f.indices]
+        if self._all_distinct:
+            # every neighbor label has count 1: mode == min neighbor
+            # label.  reduceat quirk: an empty segment yields
+            # lab[indptr[i]] (and indptr[i] may equal E for trailing
+            # empty rows) — clip the index and mask by degree.
+            self._all_distinct = False
+            idx = np.minimum(f.indptr[:-1], f.num_local_edges - 1)
+            seg_min = np.minimum.reduceat(lab, idx)
+            nz = f.out_degree > 0
+            new[nz] = seg_min[nz].astype(new.dtype)
+            return new
         if self._seg_hi is not None:
-            # packed single-key path: one in-place int64 value sort
+            # packed single-key path: one in-place int64 value sort;
+            # timsort once the label stream is nearly converged
+            kind = ("stable" if self._prev_changed * 8 < f.ivnum
+                    else "quicksort")
             key = self._seg_hi + lab  # lab in [0, 2^31) => add == bitwise-or
-            key.sort()
+            key.sort(kind=kind)
             newrun = np.empty(len(key), dtype=bool)
             newrun[0] = True
             np.not_equal(key[1:], key[:-1], out=newrun[1:])
@@ -108,7 +141,9 @@ class CDLP(VertexProgram):
         f = self.frag
         if outer_vals is not None and f.ovnum:
             self.labels[f.ivnum:] = outer_vals
-        self.labels[: f.ivnum] = self._mode()
+        new = self._mode()
+        self._prev_changed = int(np.count_nonzero(new != self.labels[: f.ivnum]))
+        self.labels[: f.ivnum] = new
         self.step += 1
         if self.step >= self.rounds:
             self.done = True
@@ -131,3 +166,8 @@ class CDLP(VertexProgram):
         )
         self.step = int(scalars["step"])
         self.done = bool(scalars["done"])
+        # resumed mid-run: labels are no longer the distinct init gids
+        # (step 0 checkpoints restart via init instead), and assume
+        # high entropy for the first resumed sort
+        self._all_distinct = self.step == 0
+        self._prev_changed = self.frag.ivnum
