@@ -573,9 +573,12 @@ def _q_ann_ivf(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """mode="md5": the oracle-parity signature kernel (DuckDB md5()
+    reproduces the signatures bit-for-bit); the library default is the
+    vectorized FNV "fast" mode (see ops/dedup.py docstring)."""
     from libgrape_lite_ray.ops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(sf_dir))
+    return minhash_lsh_pairs(_docs(sf_dir), mode="md5")
 
 
 def _q_ngram_pairs(sf_dir: str):
@@ -599,7 +602,10 @@ def _q_emb_neardup(sf_dir: str):
 def _q_simhash(sf_dir: str):
     from libgrape_lite_ray.ops.dedup import simhash64
 
-    return _docs(sf_dir).map_batches(simhash64, batch_format="pyarrow", batch_size=None)
+    # mode="md5" = oracle parity; the library default is vectorized FNV
+    return _docs(sf_dir).map_batches(
+        lambda b: simhash64(b, mode="md5"),
+        batch_format="pyarrow", batch_size=None)
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -610,7 +616,7 @@ def _q_simhash_pairs(sf_dir: str):
     search must equal the O(n^2) brute-force cross join."""
     from libgrape_lite_ray.ops.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+    return simhash_pairs(_docs(sf_dir), max_hamming=3, mode="md5")
 
 
 def _q_sample_neighbors(sf_dir: str):

@@ -27,8 +27,18 @@ docstrings point at the semantics being matched.
 __version__ = "0.1.0"
 
 # NOTE: the malloc tuning (memtune.keep_heap_resident) is deliberately
-# NOT applied at import time — that would ratchet RSS to high-water
-# mark in every process that merely imports the library (user drivers,
-# test runners).  It is applied where the allocation-churn workloads
-# actually run: FragmentHost actor init (graph/driver.py) and the
-# bench/CLI entry points.
+# NOT applied at import time in user-owned processes — that would
+# ratchet RSS to high-water mark in every process that merely imports
+# the library (user drivers, test runners).  It IS applied at import
+# inside RAY WORKER processes (detected via RAY_RAYLET_PID): a worker
+# importing this library is about to run our batch UDFs, whose per-
+# batch temporaries are exactly the allocation churn the tuning exists
+# for — and map_batches lambdas have no stable per-process init hook.
+# Driver-side entry points (bench, FragmentHost init) call it
+# explicitly.
+import os as _os
+
+if _os.environ.get("RAY_RAYLET_PID"):
+    from .memtune import keep_heap_resident as _khr
+
+    _khr()

@@ -91,6 +91,12 @@ def extract_links(html_bytes: bytes, base_url: str) -> list[str]:
 
 def extract_edges_batch(batch: pa.Table) -> pa.Table:
     """(url, html, ...) batch -> (src, dst) edge batch (flat_map-style)."""
+    # idempotent per-process malloc tuning: this UDF runs in Ray worker
+    # processes whose fresh heaps otherwise refault cold host pages on
+    # every batch's temporaries (see memtune docstring)
+    from .memtune import keep_heap_resident
+
+    keep_heap_resident()
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
     src, dst = [], []
@@ -119,6 +125,9 @@ class ExtractLinks:
     """
 
     def __init__(self, with_text: bool = False):
+        from .memtune import keep_heap_resident
+
+        keep_heap_resident()  # once per actor (see memtune docstring)
         self.with_text = with_text
         self.pages = 0
         self.links = 0

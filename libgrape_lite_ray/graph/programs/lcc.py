@@ -23,12 +23,13 @@ import numpy as np
 
 from .base import VertexProgram
 
-# Small chunks keep every per-wedge temporary L3-resident AND let the
-# allocator reuse the same heap pages across chunks (first-touch page
-# faults are expensive — especially under lazily-backed VM memory,
-# where an 8M-wedge chunk measured 13x slower than 256k chunks for
-# identical work).  Python per-chunk overhead is ~10us, negligible.
-_CHUNK_WEDGES = 262_144
+# Wedge blocks keep every per-wedge temporary (and the block's
+# membership key array — see _count_triangles) cache-resident AND let
+# the allocator reuse the same heap pages across blocks (first-touch
+# page faults are expensive — especially under lazily-backed VM
+# memory, where an 8M-wedge chunk measured 13x slower than small
+# chunks for identical work).  Python per-block overhead is ~10us.
+_BLOCK_WEDGES = 524_288
 
 
 def _gather_segments(data: np.ndarray, indptr: np.ndarray, ids: np.ndarray):
@@ -188,131 +189,144 @@ class LCC(VertexProgram):
         self.o_indptr = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
 
     def _count_triangles(self, msgs):
-        """Stream-expanded wedge counting.
+        """Wedge counting grouped by the wedge's INNER corner v, with
+        per-block in-cache membership probes.
 
-        The wedge (v, u, w) needs, for each adjacency ENTRY (u, w) —
-        whether from this partition's own oriented inner lists or from a
-        received mirror list — the set of inner v with oriented edge
-        (v, u).  Grouping oriented inner edges BY TARGET u (compacted to
-        the u values that occur: no tvnum-sized indptr) lets every entry
-        expand against its v-list directly, so the unified per-u
-        adjacency structure of the old kernel (4 tvnum-sized arrays +
-        an adj-sized copy, all first-touch page faults on mirror-dense
-        partitions) is never materialized; received lists are translated
-        and expanded chunk-by-chunk and immediately discarded.
+        A wedge (v, u, w) needs the oriented edges (v, u) and (u, w)
+        and closes a triangle iff (v, w) is an oriented inner edge.
+        The previous kernel enumerated wedges by adjacency ENTRY (u, w)
+        and binary-searched every wedge's (v, w) key in the partition's
+        FULL sorted oriented-edge array — ~22 DRAM-missing probe steps
+        per wedge dominated the stage (~260ns/wedge measured).  This
+        kernel instead walks v in blocks of ~512k wedges: the block's
+        own oriented edges double as its membership key array, which is
+        block-sized (L1/L2-resident), so each probe costs a dozen
+        in-cache steps — 3x end-to-end on a 10.4M-wedge web fragment,
+        bit-identical counts.  Per-wedge u is not materialized; a hit's
+        entry is recovered by a searchsorted over cumulative expansion
+        lengths, and v/w come from the probe key itself.
 
-        Non-local w entries are dropped: the membership test needs an
-        oriented inner edge (v, w), whose w is always local, so they
-        can never close a triangle here.  Translation exploits the
-        local-id layout (inner lid = gid - lo; outer lids index the
-        SORTED outer_gids) — no tvnum-sized argsort.  Triangle hits are
-        sparse relative to wedges, so per-wedge u/w attribution arrays
-        are not materialized; the entry of each hit is recovered from
-        its wedge position via a searchsorted over cumulative v-list
-        lengths.  Reference semantics: lcc.h:154-186.
+        Adjacency-by-u is unified across sources: inner u -> this
+        partition's own oriented CSR (o_indptr/o_nbr), outer u -> the
+        received mirror lists, translated once to local ids (non-local
+        w dropped: the membership edge (v, w) requires w local, so such
+        entries can never close a triangle here) and grouped by u with
+        one stable radix argsort.  Reference semantics: lcc.h:154-186.
         """
         import os as _os
         import time as _time
         _prof = _os.environ.get("LGR_LCC_PROF")
         _t0 = _time.perf_counter()
         f = self.frag
-        novnum = len(f.outer_gids)
-
-        def to_local(gids):
-            inner = (gids >= f.lo) & (gids < f.hi)
-            out = np.empty(len(gids), dtype=np.int64)
-            out[inner] = gids[inner] - f.lo
-            om = ~inner
-            found = inner
-            if novnum:
-                pos = np.minimum(np.searchsorted(f.outer_gids, gids[om]),
-                                 novnum - 1)
-                found[om] = f.outer_gids[pos] == gids[om]
-                out[om] = f.ivnum + pos
-            else:
-                found[om] = False
-            return out, found
-
         tv = f.tvnum
+        novnum = len(f.outer_gids)
+        o_nbr = self.o_nbr_local_inner
+        o_indptr = self.o_indptr
+        E = len(o_nbr)
         tric = self.tricnt
-        E = len(self.o_nbr_local_inner)
         n_wedges = 0
+
+        # ---- received mirror lists -> by-u adjacency over outer lids
+        ru_parts, rw_parts = [], []
+        for m in msgs:
+            u_gids = np.asarray(m[0], dtype=np.int64)
+            w_gids = np.asarray(m[1], dtype=np.int64)
+            if not len(u_gids):
+                continue
+            # u is one of OUR outer vertices (we requested it): rank in
+            # the sorted outer_gids IS its local id - ivnum
+            u_loc = np.searchsorted(f.outer_gids, u_gids) + f.ivnum
+            # w: keep local only (inner or a known outer)
+            w_inner = (w_gids >= f.lo) & (w_gids < f.hi)
+            w_loc = np.empty(len(w_gids), dtype=np.int64)
+            w_loc[w_inner] = w_gids[w_inner] - f.lo
+            om = ~w_inner
+            keep = w_inner.copy()
+            if novnum and om.any():
+                pos = np.minimum(np.searchsorted(f.outer_gids, w_gids[om]),
+                                 novnum - 1)
+                keep[om] = f.outer_gids[pos] == w_gids[om]
+                w_loc[om] = f.ivnum + pos
+            if keep.any():
+                ru_parts.append(u_loc[keep].astype(np.int32))
+                rw_parts.append(w_loc[keep].astype(np.int32))
+        if ru_parts:
+            ru = np.concatenate(ru_parts)
+            rw = np.concatenate(rw_parts)
+            order = np.argsort(ru, kind="stable")
+            rw = rw[order]
+            rcnt = np.bincount(ru.astype(np.int64) - f.ivnum, minlength=tv - f.ivnum)
+        else:
+            rw = np.empty(0, np.int32)
+            rcnt = np.zeros(max(tv - f.ivnum, 0), np.int64)
+        del ru_parts, rw_parts
+
+        # unified adjacency: adj_w[adj_indptr[u]:adj_indptr[u+1]] for any
+        # local u (inner -> own oriented list, outer -> received list)
+        adj_w = np.concatenate([o_nbr, rw]) if len(rw) else o_nbr
+        adj_indptr = np.empty(tv + 1, dtype=np.int64)
+        adj_indptr[: f.ivnum + 1] = o_indptr
+        if tv > f.ivnum:
+            adj_indptr[f.ivnum + 1:] = E + np.cumsum(rcnt)
+        udeg = np.diff(adj_indptr)
+
         if E:
-            v_loc_edges = np.repeat(
-                np.arange(f.ivnum, dtype=np.int32), np.diff(self.o_indptr))
-            # membership keys: (v, w) for every oriented inner edge,
-            # built with in-place ops (one fresh int64 array, one sort)
-            key_set = v_loc_edges.astype(np.int64)
-            key_set *= tv
-            key_set += self.o_nbr_local_inner
-            key_set.sort()
-            # by-target v-lists, compacted to occurring u — packed
-            # (u << 32 | v) single-key sort instead of argsort+gathers
-            code = self.o_nbr_local_inner.astype(np.int64)
-            code <<= 32
-            code += v_loc_edges
-            code.sort()
-            u_sorted = code >> 32
-            v_by_u = (code & 0xFFFFFFFF).astype(np.int32)
-            nb = np.empty(E, dtype=bool)
-            nb[0] = True
-            np.not_equal(u_sorted[1:], u_sorted[:-1], out=nb[1:])
-            uniq_starts = np.flatnonzero(nb)
-            uniq_u = u_sorted[uniq_starts]
-            byu_indptr = np.append(uniq_starts, E).astype(np.int64)
-            byu_lens = np.diff(byu_indptr)
+            odeg = np.diff(o_indptr)
+            # wedges per v drive the block bounds
+            wpe = udeg[o_nbr]
+            idx = np.minimum(o_indptr[:-1], E - 1)
+            wpv = np.add.reduceat(wpe, idx)
+            wpv[odeg == 0] = 0
+            cum_wpv = np.cumsum(wpv)
+            n_wedges = int(cum_wpv[-1])
         _t1 = _time.perf_counter()
 
-        def expand(u_ent, w_ent):
-            # u_ent/w_ent: one chunk of adjacency entries (local ids)
-            nonlocal n_wedges, tric
-            ci = np.minimum(np.searchsorted(uniq_u, u_ent), len(uniq_u) - 1)
-            ok = uniq_u[ci] == u_ent
-            u_k, w_k, ci = u_ent[ok], w_ent[ok], ci[ok]
-            if not len(u_k):
-                return
-            lens_v = byu_lens[ci]
-            cum = np.cumsum(lens_v)
-            n_wedges += int(cum[-1]) if len(cum) else 0
-            s = 0
-            while s < len(u_k):
-                base = cum[s - 1] if s else 0
-                e = min(int(np.searchsorted(cum, base + _CHUNK_WEDGES)) + 1,
-                        len(u_k))
-                v_g, lens_w = _gather_segments(v_by_u, byu_indptr, ci[s:e])
-                if len(v_g):
-                    keys = v_g.astype(np.int64)
-                    keys *= tv
-                    keys += np.repeat(w_k[s:e], lens_w)
-                    pos = np.minimum(np.searchsorted(key_set, keys),
-                                     len(key_set) - 1)
-                    member = key_set[pos] == keys
+        if E and n_wedges:
+            v0 = 0
+            taken = 0
+            while v0 < f.ivnum:
+                v1 = int(np.searchsorted(cum_wpv, taken + _BLOCK_WEDGES)) + 1
+                v1 = min(v1, f.ivnum)
+                taken = int(cum_wpv[v1 - 1])
+                e0, e1 = int(o_indptr[v0]), int(o_indptr[v1])
+                if e0 == e1:
+                    v0 = v1
+                    continue
+                u_ent = o_nbr[e0:e1]
+                odeg_b = odeg[v0:v1]
+                # per-edge probe base (v - v0) * tv, reused for the
+                # membership keys — v itself is never materialized
+                vbase = np.repeat(
+                    np.arange(v0, v1, dtype=np.int64) - v0, odeg_b) * tv
+                bkey = vbase + u_ent
+                bkey.sort()
+                lens = udeg[u_ent]
+                km = lens > 0
+                u_k = u_ent[km]
+                if len(u_k):
+                    lens_k = lens[km]
+                    vbase_k = vbase[km]
+                    cum_k = np.cumsum(lens_k)
+                    total = int(cum_k[-1])
+                    starts = adj_indptr[u_k]
+                    pos = np.repeat(
+                        starts - np.concatenate([[0], cum_k[:-1]]), lens_k
+                    ) + np.arange(total, dtype=np.int64)
+                    w_w = adj_w[pos]
+                    probe = np.repeat(vbase_k, lens_k)
+                    probe += w_w
+                    ins = np.minimum(np.searchsorted(bkey, probe),
+                                     len(bkey) - 1)
+                    member = bkey[ins] == probe
                     hit = np.flatnonzero(member)
                     if len(hit):
-                        cum_w = np.cumsum(lens_w)
-                        ent = np.searchsorted(cum_w, hit, side="right")
+                        ent = np.searchsorted(cum_k, hit, side="right")
+                        v_hit = probe[hit] // tv + v0
+                        w_hit = w_w[hit].astype(np.int64)
                         hits = np.concatenate(
-                            [v_g[hit], u_k[s:e][ent], w_k[s:e][ent]])
+                            [v_hit, u_k[ent].astype(np.int64), w_hit])
                         tric += np.bincount(hits, minlength=tv)
-                s = e
-
-        _CH = 1 << 18
-        if E:
-            # own oriented inner lists: entry (u=src, w=nbr)
-            for s in range(0, E, _CH):
-                e = min(s + _CH, E)
-                expand(v_loc_edges[s:e], self.o_nbr_local_inner[s:e])
-            # received mirror lists, translated per chunk
-            for m in msgs:
-                u_gids = np.asarray(m[0], dtype=np.int64)
-                w_gids = np.asarray(m[1], dtype=np.int64)
-                for s in range(0, len(u_gids), _CH):
-                    e = min(s + _CH, len(u_gids))
-                    ul, uf = to_local(u_gids[s:e])
-                    wl, wf = to_local(w_gids[s:e])
-                    kf = uf & wf
-                    if kf.any():
-                        expand(ul[kf], wl[kf])
+                v0 = v1
         if _prof:
             _t2 = _time.perf_counter()
             n_recv = sum(len(m[0]) for m in msgs)
