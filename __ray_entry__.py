@@ -120,6 +120,23 @@ SELECT v.node AS oid, CAST(COALESCE(MIN(bf.d), -1) AS BIGINT) AS depth
 FROM V v LEFT JOIN bf ON v.node = bf.node GROUP BY v.node ORDER BY oid
 """
 
+_IN_DEGREE_SQL = f"""
+WITH {_E}, {_U}, {_V}
+SELECT v.node AS oid, CAST(COUNT(E.dst) AS BIGINT) AS in_degree
+FROM V v LEFT JOIN E ON E.dst = v.node GROUP BY v.node ORDER BY oid
+"""
+
+_BFS_REV_SQL = f"""
+WITH RECURSIVE {_E}, {_U}, {_V},
+bf(node, d) AS (
+  SELECT (SELECT MIN(node) FROM V), 0
+  UNION
+  SELECT E.src, bf.d + 1 FROM bf JOIN E ON bf.node = E.dst WHERE bf.d < {K + 10}
+)
+SELECT v.node AS oid, CAST(COALESCE(MIN(bf.d), -1) AS BIGINT) AS depth
+FROM V v LEFT JOIN bf ON v.node = bf.node GROUP BY v.node ORDER BY oid
+"""
+
 def _sssp_sql(rounds: int = 30) -> str:
     """Unrolled Bellman-Ford on the weighted derived graph
     (w = MIN(l_quantity) per distinct (src,dst)); the derived graph
@@ -154,6 +171,47 @@ def _sssp_sql(rounds: int = 30) -> str:
     )
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
+
+_TAG_MATCH_SQL = f"""
+WITH {_E}, {_U}, {_V},
+P AS MATERIALIZED (
+  SELECT CAST(o_orderkey % {K} AS BIGINT) AS oid, o_orderpriority AS tag,
+         ROW_NUMBER() OVER (PARTITION BY o_orderkey % {K}
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders),
+TAG AS (SELECT oid, tag FROM P WHERE rn = 1),
+M AS (SELECT E.src AS node, COUNT(*) AS c
+      FROM E
+      LEFT JOIN TAG ts ON ts.oid = E.src
+      LEFT JOIN TAG td ON td.oid = E.dst
+      WHERE COALESCE(ts.tag, '') = COALESCE(td.tag, '')
+      GROUP BY E.src)
+SELECT v.node AS oid, CAST(COALESCE(M.c, 0) AS BIGINT) AS match_count
+FROM V v LEFT JOIN M ON v.node = M.node ORDER BY oid
+"""
+
+_MULTIHOP_SQL = f"""
+WITH EW AS MATERIALIZED (
+  SELECT CAST(l_orderkey % {K} AS BIGINT) AS src,
+         CAST((l_partkey * 7 + l_suppkey) % {K} AS BIGINT) AS dst,
+         CAST(MIN(l_quantity) AS DOUBLE) AS w
+  FROM lineitem
+  WHERE (l_orderkey % {K}) <> ((l_partkey * 7 + l_suppkey) % {K})
+  GROUP BY 1, 2),
+VW AS (SELECT DISTINCT node FROM (SELECT src AS node FROM EW UNION SELECT dst FROM EW)),
+R AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+  FROM EW),
+roots AS (SELECT node FROM VW ORDER BY node LIMIT 3),
+H1 AS (SELECT roots.node AS root, R.src, R.dst
+       FROM roots JOIN R ON R.src = roots.node WHERE R.rk <= 3),
+H2 AS (SELECT h1.root, R.src, R.dst
+       FROM H1 h1 JOIN R ON R.src = h1.dst WHERE R.rk <= 2)
+SELECT CAST(1 AS BIGINT) AS hop, root, src AS src_oid, dst AS dst_oid FROM H1
+UNION ALL
+SELECT CAST(2 AS BIGINT), root, src, dst FROM H2
+"""
 
 _NBR_VDATA_SQL = f"""
 WITH {_E}, {_U}, {_V},
@@ -451,6 +509,68 @@ def _q_bfs(sf_dir: str):
     return run_graph_query(sf_dir, "bfs", {"source": 0}, variant="directed")
 
 
+def _q_in_degree(sf_dir: str):
+    """In-degree from the ENGINE's reversed fragments (LoadStrategy
+    kBothOutIn, build.reverse_graph): one route-only spool transpose of
+    the already-built directed graph — no re-extract, no second
+    dictionary build; the reversed fragments' out-CSR row lengths are
+    the in-degrees."""
+    import pyarrow as pa
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "degree", {}, variant="reversed")
+    return t.rename_columns(["oid", "in_degree"])
+
+
+def _q_nbr_tag_match(sf_dir: str):
+    """STRING-vdata path end to end (grape/types.h:30-39 VDATA_T):
+    per-vertex count of out-neighbors sharing the vertex's string tag
+    (o_orderpriority of the max orderkey), through translate -> route
+    -> one-time mirror sync -> factorized per-edge equality."""
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "vdata_match_count", {}, variant="vdata_str")
+    return t
+
+
+def _q_sample_multihop(sf_dir: str):
+    """Query-driven multi-hop TOP-K-by-weight walk from the 3 smallest
+    vertices, hop_and_num=[3,2] (sampler.h:154-205 analog; top-k is
+    deterministic — heaviest edge first, ties by neighbor id — so the
+    SQL window-function oracle is exact, including path
+    multiplicities)."""
+    import pyarrow as pa
+
+    from libgrape_lite_ray.graph.build import attach_oids
+    from libgrape_lite_ray.graph.driver import GraphEngine
+    from libgrape_lite_ray.pipelines.tpch_graph import graph_meta_for
+
+    meta = graph_meta_for(sf_dir, "weighted")
+    eng = GraphEngine(meta)
+    try:
+        ds, _ = eng.run("sample_multihop", {
+            "sources": [0, 1, 2], "hop_and_num": [3, 2], "strategy": "topk"})
+        t = pa.concat_tables(
+            list(ds.iter_batches(batch_format="pyarrow", batch_size=1_000_000)))
+    finally:
+        eng.shutdown()
+    for col, name in [("root_gid", "root"), ("src_gid", "src_oid"),
+                      ("dst_gid", "dst_oid")]:
+        t = attach_oids(t, meta, gid_col=col, oid_name=name)
+        t = t.drop_columns([col])
+    return t
+
+
+def _q_bfs_rev(sf_dir: str):
+    """Reverse BFS (hop depth along IN-edges) on the reversed
+    fragments — the SendMsgThroughIEdges direction
+    (default_message_manager.h:175-268) exercised end to end."""
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "bfs", {"source": 0}, variant="reversed")
+
+
 def _q_sssp(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -673,6 +793,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangle_count,
         "tricnt_per_vertex": _q_tricnt,
         "bfs": _q_bfs,
+        "in_degree": _q_in_degree,
+        "bfs_rev": _q_bfs_rev,
+        "sample_multihop": _q_sample_multihop,
+        "nbr_tag_match": _q_nbr_tag_match,
         "sssp": _q_sssp,
         "nbr_vdata_sum": _q_nbr_vdata_sum,
         "dedup_exact": _q_dedup_exact,
@@ -704,6 +828,10 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _TRI_COUNT_SQL,
         "tricnt_per_vertex": _TRI_PER_VERTEX_SQL,
         "bfs": _BFS_SQL,
+        "in_degree": _IN_DEGREE_SQL,
+        "bfs_rev": _BFS_REV_SQL,
+        "sample_multihop": _MULTIHOP_SQL,
+        "nbr_tag_match": _TAG_MATCH_SQL,
         "sssp": _sssp_sql(30),
         "nbr_vdata_sum": _NBR_VDATA_SQL,
         "dedup_exact": _DEDUP_SQL,

@@ -137,6 +137,7 @@ def build_graph(
     vdata_ds=None,
     vertices_ds=None,
     sort_spool: bool = True,
+    load_strategy: str = "out",
 ) -> GraphMeta:
     """Build the on-disk graph layout from an edge Dataset with columns
     ``src``/``dst`` (string or int64 oids) and optional ``weight_col``.
@@ -151,6 +152,12 @@ def build_graph(
     oid is not a graph vertex are dropped; graph vertices absent from
     ``vdata_ds`` read as 0.  Mirror vdata is synced once at engine
     start (immutable_edgecut_fragment.h:109-114 mirror vdata analog).
+
+    ``load_strategy``: ``"out"`` (default) stores only the out-CSR;
+    ``"both"`` additionally derives the reversed-direction spool under
+    ``work_dir/rev`` (the reference's LoadStrategy kBothOutIn,
+    grape/types.h:63-68) so in-edge queries need no second build —
+    see ``reverse_graph``.
 
     ``vertices_ds``: optional Dataset with an ``oid`` column declaring
     the vertex universe explicitly (the reference's ``.v`` file,
@@ -190,6 +197,10 @@ def build_graph(
             if not os.path.exists(marker):
                 raise
         meta.work_dir = final_dir
+        if load_strategy == "both":
+            reverse_graph(meta)
+            meta.extra["rev_dir"] = os.path.join(final_dir, "rev")
+            meta.save()
         return meta
 
     os.makedirs(work_dir, exist_ok=True)
@@ -447,6 +458,65 @@ def _build_dense_int(edges_ds, work_dir, num_partitions, directed, symmetrize,
     meta.extra["identity_oids"] = True
     meta.save()
     return meta
+
+
+def reverse_graph(meta: GraphMeta, rev_dir: str | None = None) -> GraphMeta:
+    """In-edge adjacency without a second graph build (the reference's
+    LoadStrategy ``kBothOutIn``, grape/types.h:63-68,
+    immutable_edgecut_fragment.h:79-114): derive a reversed-direction
+    spool from an already-built graph with ONE route-only pass over the
+    gid spool — no re-extract, no dictionary translate, no global sort
+    (fragments lexsort their slice once; the CSR snapshot caches it).
+
+    Returns a GraphMeta whose fragments' out-CSR is the donor's in-CSR
+    and which shares the donor's vertex dictionary, so every program
+    runs unchanged along in-edges (in-degree, reverse BFS/reachability,
+    the SendMsgThroughIEdges direction).  Partition boundaries reuse
+    the donor's (in-degree skew may differ from out-degree skew; pass a
+    dedicated ``rev_dir`` and rebalance externally if it bites)."""
+    import ray.data as rd
+
+    rev_dir = rev_dir or os.path.join(meta.work_dir, "rev")
+    marker = os.path.join(rev_dir, "graph_meta.json")
+    if os.path.exists(marker):
+        return GraphMeta.load(rev_dir)
+    tmp_dir = f"{rev_dir}.building-{os.getpid()}"
+    if os.path.isdir(tmp_dir):
+        import shutil
+
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    _copy_vertices(meta, tmp_dir)
+    cols = ["src_gid", "dst_gid"] + (["w"] if meta.has_weights else [])
+    de = rd.read_parquet(meta.spool_dir, columns=cols)
+
+    def revg(t: pa.Table) -> pa.Table:
+        d = {"src_gid": t.column("dst_gid"), "dst_gid": t.column("src_gid")}
+        if meta.has_weights:
+            d["w"] = t.column("w")
+        return pa.table(d)
+
+    rmeta = _spool_and_finish(
+        de.map_batches(revg, batch_format="pyarrow", batch_size=None),
+        tmp_dir, meta.num_vertices, meta.num_partitions, meta.starts,
+        meta.directed, meta.oid_type, meta.has_weights,
+        (meta.fingerprint + ":rev") if meta.fingerprint else "",
+        sort_spool=False,
+    )
+    if meta.extra.get("identity_oids"):
+        rmeta.extra["identity_oids"] = True
+    rmeta.extra["reversed_of"] = meta.work_dir
+    rmeta.save()
+    try:
+        os.rename(tmp_dir, rev_dir)
+    except OSError:  # lost a race with a concurrent reverse build
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    rmeta.work_dir = rev_dir
+    return rmeta
 
 
 def _copy_vertices(donor: GraphMeta, work_dir: str):

@@ -283,13 +283,26 @@ class Fragment:
         else:
             vt, vg = None, np.empty(0, np.int64)
         for c in vdata_cols:
-            dense = np.zeros(self.ivnum, dtype=np.float64)
-            if vt is not None and len(vg):
-                vals = vt.column(c).to_numpy(zero_copy_only=False)
-                dense[vg - self.lo] = vals.astype(np.float64)
+            # dtype-aware (reference VDATA_T is any POD incl. strings,
+            # grape/types.h:30-39): string columns load as object
+            # arrays with "" for absent vertices; everything numeric
+            # stays the float64 dense path
+            is_str = (vt is not None
+                      and pa.types.is_string(vt.schema.field(c).type))
+            if is_str:
+                dense = np.full(self.ivnum, "", dtype=object)
+                if len(vg):
+                    dense[vg - self.lo] = np.asarray(
+                        vt.column(c).to_pylist(), dtype=object)
+                full = np.full(self.tvnum, "", dtype=object)
+            else:
+                dense = np.zeros(self.ivnum, dtype=np.float64)
+                if vt is not None and len(vg):
+                    vals = vt.column(c).to_numpy(zero_copy_only=False)
+                    dense[vg - self.lo] = vals.astype(np.float64)
+                # until synced, vdata_full has zeros in the outer segment
+                full = np.zeros(self.tvnum, dtype=np.float64)
             self.vdata[c] = dense
-            # until synced, vdata_full has zeros in the outer segment
-            full = np.zeros(self.tvnum, dtype=np.float64)
             full[: self.ivnum] = dense
             self.vdata_full[c] = full
 

@@ -12,11 +12,14 @@ from .cdlp import CDLP
 from .bfs import BFS
 from .sssp import SSSP
 from .lcc import LCC
-from .sample import SampleNeighbors
-from .vdata import VDataSum
+from .sample import MultiHopSampler, SampleNeighbors
+from .vdata import VDataMatch, VDataSum
+from .degree import Degree
 
-PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC,
-                                SampleNeighbors, VDataSum)}
+PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC, Degree,
+                                SampleNeighbors, MultiHopSampler, VDataSum,
+                                VDataMatch)}
 
 __all__ = ["VertexProgram", "PageRank", "WCC", "CDLP", "BFS", "SSSP", "LCC",
-           "SampleNeighbors", "VDataSum", "PROGRAMS"]
+           "Degree", "SampleNeighbors", "MultiHopSampler", "VDataSum",
+           "VDataMatch", "PROGRAMS"]

@@ -78,3 +78,157 @@ class SampleNeighbors(VertexProgram):
 
     def load_state(self, arrays, scalars):
         self._src, self._dst = arrays["src"], arrays["dst"]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized, deterministic across workers."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+class MultiHopSampler(VertexProgram):
+    """Query-driven multi-hop neighbor sampling — the reference
+    sampler's ``hop_and_num`` walk (examples/gnn_sampler/sampler.h:
+    154-205) with REUSABLE per-vertex sampling indices
+    (fragment_indices.h): the fragment builds a per-vertex shuffled
+    edge order (random) or (-weight, gid)-sorted order (topk) ONCE
+    (cached on the fragment across runs), so sampling a hub costs
+    O(k) per query pair instead of O(degree).
+
+    BSP shape: round h consumes (root, v) frontier pairs at v's owner,
+    reads k consecutive entries of v's index (random: at a
+    splitmix64(root, hop, seed)-derived cyclic offset, the pre-
+    generated-index semantics of fragment_indices.h — per-query-varied,
+    without-replacement, O(k); topk: the first k, exactly the heaviest
+    edges), records the sampled edges, and routes the sampled
+    neighbors' pairs to their owners for hop h+1.
+
+    Output rows: (hop, root_gid, src_gid, dst_gid).  Deterministic per
+    (seed, partition layout).
+    """
+
+    name = "sample_multihop"
+
+    def __init__(self, frag, sources=(), hop_and_num=(5, 5),
+                 strategy: str = "random", seed: int = 42, **kw):
+        super().__init__(frag, **kw)
+        self.sources = np.asarray(list(sources), dtype=np.int64)
+        self.hops = [int(x) for x in hop_and_num]
+        self.strategy = strategy
+        self.seed = int(seed)
+
+    # ------------------------------------------------------ index (ST6)
+    def _index(self) -> np.ndarray:
+        """Per-vertex permuted edge order, cached ON THE FRAGMENT so
+        repeated sampler runs (and other programs) reuse it — the
+        fragment_indices.h build-once contract."""
+        f = self.frag
+        attr = f"_sampler_idx_{self.strategy}_{self.seed if self.strategy == 'random' else 'w'}"
+        idx = getattr(f, attr, None)
+        if idx is not None:
+            return idx
+        E = len(f.indices)
+        seg = f.src_of_edge.astype(np.int64)
+        if self.strategy == "topk" and f.edge_w is not None:
+            nbr = f.all_gids()[f.indices]
+            idx = np.lexsort((nbr, -f.edge_w, seg)).astype(np.int64)
+        else:
+            rng = np.random.default_rng([self.seed, f.part])
+            idx = np.lexsort((rng.random(E), seg)).astype(np.int64)
+        setattr(f, attr, idx)
+        return idx
+
+    def init(self) -> dict:
+        f = self.frag
+        own = self.sources[(self.sources >= f.lo) & (self.sources < f.hi)]
+        # hop-1 frontier: (root=source, v=source) pairs at their owner
+        self._pend_root = own.copy()
+        self._pend_v = own.copy()
+        self._hop = 0
+        self._out = []  # (hop, root, src, dst) arrays per round
+        self._next = {}
+        self.done = not self.hops
+        return {}
+
+    def mirror_values(self, rnd: int):
+        return None
+
+    def messages(self, rnd: int) -> dict:
+        return self._next
+
+    def _sample_pairs(self, roots, vs, k, hop):
+        f = self.frag
+        idx = self._index()
+        lids = vs - f.lo
+        deg = f.out_degree[lids]
+        nz = deg > 0
+        roots, lids, deg = roots[nz], lids[nz], deg[nz]
+        if not len(lids):
+            return (np.empty(0, np.int64),) * 3
+        kk = np.minimum(deg, k)
+        if self.strategy == "topk":
+            start = np.zeros(len(lids), dtype=np.int64)
+        else:
+            salt = np.uint64((self.seed * 0x9E3779B97F4A7C15) % 2**64)
+            h = _mix64(roots.view(np.uint64) ^ salt ^ np.uint64(hop + 1))
+            start = (h % deg.astype(np.uint64)).astype(np.int64)
+        cols = (start[:, None] + np.arange(k)[None, :]) % deg[:, None]
+        take = np.arange(k)[None, :] < kk[:, None]
+        pos = f.indptr[lids][:, None] + cols
+        epos = idx[pos[take]]
+        nbr_gid = f.all_gids()[f.indices[epos]]
+        return (np.repeat(roots, kk), np.repeat(f.lo + lids, kk), nbr_gid)
+
+    def update(self, rnd: int, outer_vals, msgs, pushes=()) -> int:
+        f = self.frag
+        if self.done:
+            return 0
+        if msgs:
+            roots = np.concatenate([np.asarray(m[0], np.int64) for m in msgs])
+            vs = np.concatenate([np.asarray(m[1], np.int64) for m in msgs])
+        else:
+            roots, vs = self._pend_root, self._pend_v
+        self._pend_root = self._pend_v = None
+        k = self.hops[self._hop]
+        r_out, s_out, d_out = self._sample_pairs(roots, vs, k, self._hop)
+        self._out.append((np.full(len(r_out), self._hop + 1, np.int64),
+                          r_out, s_out, d_out))
+        self._hop += 1
+        self._next = {}
+        if self._hop >= len(self.hops):
+            self.done = True
+            return 0
+        if len(d_out):
+            owners = f.owner_of(d_out)
+            for q in np.unique(owners):
+                m = owners == q
+                self._next[int(q)] = (r_out[m], d_out[m])
+        return 1 if self._next else 0
+
+    def output(self):
+        if self._out:
+            hops, roots, srcs, dsts = (np.concatenate(x) for x in zip(*self._out))
+        else:
+            hops = roots = srcs = dsts = np.empty(0, np.int64)
+        return {"hop": hops, "root_gid": roots, "src_gid": srcs, "dst_gid": dsts}
+
+    def state_dict(self):
+        hops, roots, srcs, dsts = (
+            (np.concatenate(x) for x in zip(*self._out)) if self._out
+            else (np.empty(0, np.int64),) * 4)
+        arrays = {"hop": hops, "root": roots, "src": srcs, "dst": dsts,
+                  "pr": self._pend_root if self._pend_root is not None else np.empty(0, np.int64),
+                  "pv": self._pend_v if self._pend_v is not None else np.empty(0, np.int64)}
+        return arrays, {"hop_i": self._hop, "done": bool(self.done)}
+
+    def load_state(self, arrays, scalars):
+        self._out = [(arrays["hop"], arrays["root"], arrays["src"], arrays["dst"])]
+        self._pend_root, self._pend_v = arrays["pr"], arrays["pv"]
+        self._hop = int(scalars["hop_i"])
+        self.done = bool(scalars["done"])
+        self._next = {}

@@ -79,6 +79,30 @@ def derived_vdata(sf_dir: str):
             .groupby("oid").aggregate(Count(alias_name="val")))
 
 
+def derived_vdata_str(sf_dir: str):
+    """Per-vertex STRING property (oid, tag): tag = o_orderpriority of
+    the max o_orderkey mapping to the vertex — deterministic, data-
+    driven, and reproducible in ANSI SQL (ROW_NUMBER window)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderpriority"])
+
+    def make(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"oid": ok % K_VERTS, "okey": ok,
+                         "tag": t.column("o_orderpriority")})
+
+    import pandas as pd
+
+    def keep_max(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.sort_values("okey").tail(1)
+        return r[["oid", "tag"]]
+
+    return (ds.map_batches(make, batch_format="pyarrow", batch_size=None)
+            .groupby("oid").map_groups(keep_max, batch_format="pandas"))
+
+
 def _cache_dir(sf_dir: str, variant: str) -> str:
     li = os.path.join(sf_dir, "lineitem.parquet")
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{os.path.getmtime(li)}|{variant}|v1".encode()).hexdigest()[:16]
@@ -88,7 +112,14 @@ def _cache_dir(sf_dir: str, variant: str) -> str:
 def graph_meta_for(sf_dir: str, variant: str = "directed", num_partitions: int = 4) -> GraphMeta:
     """Build (or load cached) derived graph. variant:
     directed | undirected | weighted | vdata (directed + per-vertex
-    order-count property)."""
+    order-count property) | vdata_str (directed + per-vertex STRING
+    tag property) | reversed (in-edge direction of the
+    directed graph, one route-only spool transpose — see
+    build.reverse_graph)."""
+    if variant == "reversed":
+        from ..graph.build import reverse_graph
+
+        return reverse_graph(graph_meta_for(sf_dir, "directed", num_partitions))
     d = _cache_dir(sf_dir, f"{variant}-P{num_partitions}")
     marker = os.path.join(d, "graph_meta.json")
     if os.path.exists(marker):
@@ -101,7 +132,9 @@ def graph_meta_for(sf_dir: str, variant: str = "directed", num_partitions: int =
         symmetrize=variant == "undirected",
         weight_col="w" if weighted else None,
         fingerprint=os.path.basename(d),
-        vdata_ds=derived_vdata(sf_dir) if variant == "vdata" else None,
+        vdata_ds=(derived_vdata(sf_dir) if variant == "vdata"
+                  else derived_vdata_str(sf_dir) if variant == "vdata_str"
+                  else None),
     )
 
 

@@ -250,3 +250,119 @@ def test_memtune_applied():
     except (OSError, AttributeError):
         pytest.skip("non-glibc platform: mallopt unavailable")
     assert keep_heap_resident() is True  # idempotent re-call reports active
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_reverse_graph_in_degree_and_bfs(ray_session, tmp_work, P):
+    """LoadStrategy kBothOutIn analog: build once with
+    load_strategy='both', open the reversed fragments, and check
+    (a) Degree on the reversed graph == in-degree of the original
+    (post-dedup, like the reference's distinct CSR rows), and
+    (b) BFS along in-edges == BFS on the numpy-transposed graph."""
+    import os
+
+    n = 300
+    src, dst = fixtures.zipf_graph(n=n, m=2500)
+    meta = _build(tmp_work, src, dst, P, f"rev{P}", directed=True,
+                  load_strategy="both")
+    rev_dir = os.path.join(meta.work_dir, "rev")
+    assert os.path.exists(os.path.join(rev_dir, "graph_meta.json"))
+    from libgrape_lite_ray.graph.build import GraphMeta, reverse_graph
+
+    rmeta = reverse_graph(meta)  # idempotent: loads the built one
+    assert rmeta.num_vertices == n
+
+    # in-degree oracle over distinct edges
+    import pandas as pd
+
+    e = pd.DataFrame({"s": src, "d": dst}).drop_duplicates()
+    want_in = np.bincount(e["d"].to_numpy(), minlength=n)
+
+    eng = GraphEngine(rmeta)
+    ds, _ = eng.run("degree")
+    got = _result_by_gid(ds, "degree")
+    assert np.array_equal(got, want_in)
+
+    dsb, _ = eng.run("bfs", {"source": 0})
+    got_b = _result_by_gid(dsb, "depth")
+    want_b = oracle.bfs(dst, src, n, source=0)  # transposed graph
+    assert np.array_equal(got_b, want_b)
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_multihop_sampler(ray_session, tmp_work, P):
+    """hop_and_num walk (sampler.h:154-205 analog): topk strategy is
+    exact vs a NumPy walk oracle; random strategy is checked for
+    edge-validity, per-pair counts, distinctness, and determinism."""
+    import pandas as pd
+
+    n = 200
+    rng = np.random.default_rng(3)
+    m = 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.random(len(src)).round(6)
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    # pre-aggregate (min w per distinct (src,dst)): weighted builds keep
+    # multi-edges by design (the reference's EV loader does too), and
+    # this test's oracle wants a simple-graph walk
+    e = pd.DataFrame({"s": src, "d": dst, "w": w}).groupby(["s", "d"], as_index=False)["w"].min()
+    ds = rd.from_arrow(pa.table({"src": pa.array(e["s"].to_numpy(), pa.int64()),
+                                 "dst": pa.array(e["d"].to_numpy(), pa.int64()),
+                                 "w": pa.array(e["w"].to_numpy(), pa.float64())}))
+    meta = build_graph(ds, os.path.join(tmp_work, f"mh{P}"), P,
+                       directed=True, weight_col="w")
+    adj = {}
+    for s, d, ww in e.itertuples(index=False):
+        adj.setdefault(s, []).append((-ww, d))
+
+    def topk_walk(sources, hops):
+        out = set()
+        frontier = [(r, r) for r in sources]
+        for h, k in enumerate(hops, 1):
+            nxt = []
+            for r, v in frontier:
+                for _, d in sorted(adj.get(v, []))[:k]:
+                    out.add((h, r, v, d))
+                    nxt.append((r, d))
+            frontier = nxt
+        return out
+
+    eng = GraphEngine(meta)
+    srcs = [0, 1, 2]
+    hops = [3, 2]
+    dsr, _ = eng.run("sample_multihop", {"sources": srcs, "hop_and_num": hops,
+                                         "strategy": "topk"})
+    got = dsr.to_pandas()
+    got_set = set(map(tuple, got[["hop", "root_gid", "src_gid", "dst_gid"]]
+                      .itertuples(index=False)))
+    assert got_set == topk_walk(srcs, hops)
+
+    # random: valid edges, counts, distinct neighbors, deterministic
+    dsr1, _ = eng.run("sample_multihop", {"sources": srcs, "hop_and_num": hops,
+                                          "strategy": "random", "seed": 7})
+    g1 = dsr1.to_pandas().sort_values(["hop", "root_gid", "src_gid", "dst_gid"]).reset_index(drop=True)
+    edge_set = set(map(tuple, e[["s", "d"]].itertuples(index=False)))
+    assert all((s, d) in edge_set for s, d in
+               g1[["src_gid", "dst_gid"]].itertuples(index=False))
+    # per (hop, root, src) counts == min(k, out_degree(src)), neighbors distinct
+    outdeg = e.groupby("s").size().to_dict()
+    for (h, r, s), grp in g1.groupby(["hop", "root_gid", "src_gid"]):
+        # a (root, v) pair reached via multiple parents resamples the
+        # same index window: the group is c identical copies of one
+        # distinct min(k, deg)-sized sample
+        vc = grp["dst_gid"].value_counts()
+        assert vc.nunique() == 1  # every copy complete
+        assert len(vc) == min(hops[h - 1], outdeg.get(s, 0))
+    dsr2, _ = eng.run("sample_multihop", {"sources": srcs, "hop_and_num": hops,
+                                          "strategy": "random", "seed": 7})
+    g2 = dsr2.to_pandas().sort_values(["hop", "root_gid", "src_gid", "dst_gid"]).reset_index(drop=True)
+    assert g1.equals(g2)
+    eng.shutdown()

@@ -82,3 +82,72 @@ def test_vdata_sum_string_oids(ray_session, tmp_work):
         assert np.allclose(by_gid["nbr_val_sum"].to_numpy(), want, atol=1e-9)
     finally:
         eng.shutdown()
+
+
+def _match_oracle(src, dst, tags, n):
+    """count of out-neighbors (distinct edges) with equal string tag."""
+    e = np.unique(np.stack([src, dst], axis=1), axis=0)
+    out = np.zeros(n, dtype=np.int64)
+    hit = tags[e[:, 0]] == tags[e[:, 1]]
+    np.add.at(out, e[:, 0][hit], 1)
+    return out
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_string_vdata_int_oids(ray_session, tmp_work, P):
+    """STRING vdata (grape/types.h:30-39 any-POD VDATA_T): per-vertex
+    lang tag carried through translate -> route -> mirror sync ->
+    vdata_match_count, with absent vertices reading as ''."""
+    import ray.data as rd
+
+    n = 200
+    src, dst = fixtures.zipf_graph(n=n, m=1500)
+    rng = np.random.default_rng(9)
+    langs = np.array(["en", "de", "fr", ""], dtype=object)
+    tags = langs[rng.integers(0, 3, n)]
+    present = rng.random(n) > 0.2
+    tags_eff = np.where(present, tags, "")
+    vds = rd.from_arrow(pa.table({
+        "oid": pa.array(np.flatnonzero(present), pa.int64()),
+        "lang": pa.array(list(tags[present]), pa.string()),
+    }))
+    meta = build_graph(edges_from_numpy(src, dst), os.path.join(tmp_work, f"vs{P}"),
+                       P, directed=True, vdata_ds=vds)
+    eng = GraphEngine(meta)
+    try:
+        ds, _ = eng.run("vdata_match_count", {"col": "lang"})
+        df = ds.to_pandas().sort_values("gid")
+        want = _match_oracle(src, dst, tags_eff, n)
+        assert np.array_equal(df["match_count"].to_numpy(), want)
+    finally:
+        eng.shutdown()
+
+
+def test_string_vdata_string_oids(ray_session, tmp_work):
+    import ray.data as rd
+
+    src, dst = fixtures.er_components()
+    n = 100
+
+    def u(i):
+        return f"https://v{i:04d}.example/"
+
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([u(i) for i in src], pa.string()),
+        "dst": pa.array([u(i) for i in dst], pa.string()),
+    }))
+    tags = np.array(["a", "b"], dtype=object)[np.arange(n) % 2]
+    vds = rd.from_arrow(pa.table({
+        "oid": pa.array([u(i) for i in range(n)], pa.string()),
+        "lang": pa.array(list(tags), pa.string()),
+    }))
+    meta = build_graph(ds, os.path.join(tmp_work, "vsstr"), 3,
+                       directed=True, vdata_ds=vds)
+    eng = GraphEngine(meta)
+    try:
+        out, _ = eng.run("vdata_match_count", {"col": "lang"})
+        df = out.to_pandas().sort_values("gid")
+        want = _match_oracle(src, dst, tags, n)
+        assert np.array_equal(df["match_count"].to_numpy(), want)
+    finally:
+        eng.shutdown()
