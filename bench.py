@@ -72,7 +72,11 @@ def run_bench() -> dict:
     # criterion compares N vs 4N workers over the SAME sharded job);
     # per-actor CPU shares scale with the level instead
     P = 32
-    cpus_per_actor = max(0.1, round(0.8 * num_cpus / P, 2))
+    # hosts = actor processes; fragments stay 32 LOGICAL partitions at
+    # every parallelism level (same sharded job), but per-round fixed
+    # costs (actor calls, puts, barrier width) scale with the hosts
+    H = max(1, min(P, num_cpus))
+    cpus_per_actor = max(0.1, round(0.8 * num_cpus / H, 2))
     timings: dict[str, float] = {}
 
     def _mark(stage):  # progress to stderr so driver logs show the slow stage
@@ -104,7 +108,7 @@ def run_bench() -> dict:
     _mark("build_directed")
 
     t0 = time.perf_counter()
-    eng = GraphEngine(meta, num_cpus_per_actor=cpus_per_actor)
+    eng = GraphEngine(meta, num_cpus_per_actor=cpus_per_actor, num_hosts=H)
     timings["fragment_load"] = time.perf_counter() - t0
     _mark("fragment_load")
     eng.wait_prewarm()  # untimed: one-time heap fault cost (see memtune)
@@ -119,7 +123,8 @@ def run_bench() -> dict:
     timings["build_undirected"] = time.perf_counter() - t0
     _mark("build_undirected")
     t0 = time.perf_counter()
-    eng = GraphEngine(meta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng)  # warm pool
+    eng = GraphEngine(meta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng,
+                      num_hosts=H)  # warm pool
     timings["fragment_load_u"] = time.perf_counter() - t0
     _mark("fragment_load_u")
     eng.wait_prewarm()  # untimed (as above)
@@ -158,7 +163,7 @@ def run_bench() -> dict:
     from libgrape_lite_ray.graph.build import GraphMeta
     emeta = GraphMeta.load(os.path.join(egdir, "directed"))
     emeta_u = GraphMeta.load(os.path.join(egdir, "undirected"))
-    eng = GraphEngine(emeta, num_cpus_per_actor=cpus_per_actor)
+    eng = GraphEngine(emeta, num_cpus_per_actor=cpus_per_actor, num_hosts=H)
     eng.wait_prewarm()  # untimed (as above)
     # one short untimed run: first-touch page faults + plasma arena
     # growth otherwise land inside the timed window as straggler rounds;
@@ -175,7 +180,8 @@ def run_bench() -> dict:
     _mark("engine_pagerank")
     timings["engine_pr_edges_per_s"] = round(emeta.num_edges * 10 / timings["engine_pagerank"], 1)
     timings["engine_pr_supersteps_per_s"] = round(epr["supersteps_per_s"], 3)
-    eng = GraphEngine(emeta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng)
+    eng = GraphEngine(emeta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng,
+                      num_hosts=H)
     eng.wait_prewarm()  # untimed (as above)
     eng.run("wcc", max_rounds=2)  # untimed warmup (first-touch faults)
     wcc_times = []

@@ -79,18 +79,50 @@ class ResultHandle:
 
 
 class FragmentHost:
-    """Actor body: fragment + program + exchange endpoints."""
+    """Actor body: one or more fragments + their programs + exchange
+    endpoints.
 
-    def __init__(self, part_id: int, work_dir: str, starts, has_weights: bool,
-                 sorted_spool: bool = False, vdata_cols=None):
+    Hosting SEVERAL fragments per actor (``GraphEngine(num_hosts=H)``
+    with H < P) keeps the LOGICAL partitioning fixed across parallelism
+    levels — the cluster-size criterion compares the same sharded job —
+    while shrinking the fixed per-round cost that dominates at low
+    parallelism: one actor call + one ray.put per HOST per round
+    instead of per partition (a bare 32-actor barrier costs ~20-35ms on
+    this box), and co-hosted fragments consume each other's exchange
+    in-process with no object-store hop.  This is the reference's
+    process-per-node / threads-per-core shape (worker.h one worker per
+    MPI rank hosting the whole local fragment set).
+    """
+
+    def __init__(self, host_id: int, part_ids, host_of, work_dir: str, starts,
+                 has_weights: bool, sorted_spool: bool = False, vdata_cols=None):
         # per-actor, not at library import: the superstep loop's NumPy
         # temp churn is what needs resident-heap malloc (see memtune)
         from ..memtune import keep_heap_resident
 
         keep_heap_resident()
-        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
-                             has_weights, sorted_spool, vdata_cols)
-        self.program = None
+        self._bind(host_id, part_ids, host_of, work_dir, starts, has_weights,
+                   sorted_spool, vdata_cols)
+
+    def _bind(self, host_id, part_ids, host_of, work_dir, starts, has_weights,
+              sorted_spool, vdata_cols):
+        self.host_id = int(host_id)
+        self.parts = [int(p) for p in part_ids]
+        self.host_of = np.asarray(host_of, np.int64)
+        st = np.asarray(starts, np.int64)
+        self.frags = {p: Fragment(p, work_dir, st, has_weights, sorted_spool,
+                                  vdata_cols) for p in self.parts}
+        self.programs: dict[int, object] = {}
+        self._own_payload: dict[int, dict] = {}
+        # intra-host parallelism over co-hosted fragments (the
+        # reference's threads-per-worker): NumPy kernels release the
+        # GIL, so apply/pack for 4 fragments in one actor overlap well
+        if len(self.parts) > 1 and getattr(self, "_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=min(len(self.parts), 8))
+        elif len(self.parts) <= 1:
+            self._pool = None
         self._prewarm()
 
     def _prewarm(self):
@@ -101,9 +133,9 @@ class FragmentHost:
         instead of fault-stalling inside timed superstep barriers."""
         from ..memtune import prewarm_heap_async
 
-        f = self.frag
-        self._prewarm_t = prewarm_heap_async(
-            24 * f.num_local_edges + 16 * f.tvnum + (64 << 20))
+        nbytes = sum(24 * f.num_local_edges + 16 * f.tvnum
+                     for f in self.frags.values()) + (64 << 20)
+        self._prewarm_t = prewarm_heap_async(nbytes)
 
     def join_prewarm(self) -> bool:
         """Block until the heap prewarm finished (harness hook: callers
@@ -115,25 +147,23 @@ class FragmentHost:
             self._prewarm_t = None
         return True
 
-    def reload(self, part_id: int, work_dir: str, starts, has_weights: bool,
-               sorted_spool: bool = False, vdata_cols=None):
+    def reload(self, host_id: int, part_ids, host_of, work_dir: str, starts,
+               has_weights: bool, sorted_spool: bool = False, vdata_cols=None):
         """Rebind this actor to another built graph — reusing a warm
         actor pool skips process spawn + imports (~5s for 32 actors)."""
-        self.frag = Fragment(part_id, work_dir, np.asarray(starts, np.int64),
-                             has_weights, sorted_spool, vdata_cols)
-        self.program = None
-        self._prewarm()
+        self._bind(host_id, part_ids, host_of, work_dir, starts, has_weights,
+                   sorted_spool, vdata_cols)
         return True
 
     # ---------------------------------------------------------- vdata sync
-    def vdata_export(self):
+    def vdata_export(self, part: int):
         """One-time mirror vdata sync, producer side: per requester, a
         slice of every vdata column packed as one object (the dense
         BatchShuffle exchange applied to VDATA at load,
         basic_fragment_loader.h:300-338)."""
         import ray
 
-        f = self.frag
+        f = self.frags[part]
         if not f.vdata:
             return {"ref": None, "dests": []}
         dests = sorted(f.export_lids)
@@ -148,12 +178,12 @@ class FragmentHost:
             bundle[f"c:{c}"] = np.concatenate([arr[f.export_lids[q]] for q in dests])
         return {"ref": ray.put(bundle), "dests": dests}
 
-    def vdata_fill(self, incoming: list):
+    def vdata_fill(self, part: int, incoming: list):
         """Consumer side: place received per-owner vdata slices into the
         outer segment of every vdata_full column."""
         import ray
 
-        f = self.frag
+        f = self.frags[part]
         bundles = ray.get([ref for _, ref in incoming])
         for (q, _), b in zip(incoming, bundles):
             i = int(np.searchsorted(b["d"], f.part))
@@ -165,7 +195,7 @@ class FragmentHost:
         return True
 
     def edge_count(self) -> int:
-        return int(self.frag.num_local_edges)
+        return int(sum(f.num_local_edges for f in self.frags.values()))
 
     def warmup_put(self):
         """First-touch the object-store arena with an export-sized
@@ -173,7 +203,8 @@ class FragmentHost:
         cost of mapping plasma memory (seconds at 32 actors)."""
         import ray
 
-        n = max(8, sum(len(v) for v in self.frag.export_lids.values()))
+        n = max(8, sum(sum(len(v) for v in f.export_lids.values())
+                       for f in self.frags.values()))
         # the Arrow table warms the per-actor Arrow serializer path the
         # result output() uses; the array warms the exchange path
         import pyarrow as _pa
@@ -186,20 +217,14 @@ class FragmentHost:
 
         return sum(int(a[0]) for a in ray.get(refs))
 
-    def mirror_requests(self):
-        return self.frag.mirror_requests()
-
-    def register_requests(self, reqs):
-        self.frag.register_requests(reqs)
-
-    def mirror_requests_packed(self):
-        """Publish this partition's mirror lists as one packed object
+    def mirror_requests_packed(self, part: int):
+        """Publish one partition's mirror lists as one packed object
         (dest ids + offsets + concatenated gids) — registration volume
         is O(total mirrors); routing it through driver args serialized
         it twice and stalled engine startup on mirror-heavy graphs."""
         import ray
 
-        reqs = self.frag.mirror_requests()
+        reqs = self.frags[part].mirror_requests()
         dests = sorted(reqs)
         if not dests:
             return {"ref": None, "dests": []}
@@ -211,11 +236,11 @@ class FragmentHost:
         }
         return {"ref": ray.put(bundle), "dests": dests}
 
-    def register_from(self, incoming):
+    def register_from(self, part: int, incoming):
         """incoming = [(requester_part, packed_ref), ...]"""
         import ray
 
-        f = self.frag
+        f = self.frags[part]
         bundles = ray.get([ref for _, ref in incoming])
         reqs = {}
         for (q, _), b in zip(incoming, bundles):
@@ -228,28 +253,32 @@ class FragmentHost:
     def init_program(self, name: str, params: dict) -> dict:
         from . import programs
 
-        self.program = programs.PROGRAMS[name](self.frag, **params)
-        return self.program.init()
+        self._own_payload.clear()
+        agg: dict = {}
+        for p in self.parts:
+            prog = programs.PROGRAMS[name](self.frags[p], **params)
+            self.programs[p] = prog
+            for k, v in prog.init().items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
 
     def set_globals(self, agg: dict):
-        self.program.set_globals(agg)
+        for prog in self.programs.values():
+            prog.set_globals(agg)
 
-    def _pack(self, rnd: int):
-        """Build this round's outgoing exchange as ONE object-store
-        entry of a few FLAT arrays (destination ids + offsets + one
-        concatenated buffer per payload column).  One ray.put per actor
-        per round, and consumers deserialize O(1) numpy arrays
-        (zero-copy from plasma) instead of O(P) — both P² tiny puts and
-        dict-of-P-arrays unpickling dominated round latency at P=32."""
-        import ray
-
-        t0 = time.perf_counter()
+    def _pack_one(self, part: int, rnd: int):
+        """One fragment's outgoing exchange as a dict of a few FLAT
+        arrays (destination ids + offsets + one concatenated buffer per
+        payload column) — consumers deserialize O(1) numpy arrays
+        (zero-copy from plasma) instead of O(P) small objects."""
+        f = self.frags[part]
+        program = self.programs[part]
         sent = 0
         sd: list[int] = []
         sync_parts: list[np.ndarray] = []
-        mv = self.program.mirror_values(rnd)
+        mv = program.mirror_values(rnd)
         if mv is not None:
-            for p, vals in sorted(self.frag.export_values(mv).items()):
+            for p, vals in sorted(f.export_values(mv).items()):
                 sd.append(p)
                 sync_parts.append(vals)
                 sent += len(vals)
@@ -258,9 +287,8 @@ class FragmentHost:
         # payload is a zero-copy slice with NO gid column
         pd: list[int] = []
         push_parts: list[np.ndarray] = []
-        pv = self.program.mirror_push(rnd)
+        pv = program.mirror_push(rnd)
         if pv is not None:
-            f = self.frag
             for q in range(f.num_parts):
                 a, b = f.mirror_bounds[q], f.mirror_bounds[q + 1]
                 if b > a:
@@ -269,14 +297,13 @@ class FragmentHost:
                     sent += int(b - a)
         md: list[int] = []
         msg_cols: list[list[np.ndarray]] = []
-        for p, payload in sorted(self.program.messages(rnd).items()):
+        for p, payload in sorted(program.messages(rnd).items()):
             md.append(p)
             msg_cols.append([np.asarray(c) for c in payload])
             sent += int(len(payload[0]))
-        # sd/pd/md ascending (searchsorted at the consumer)
         dests = sorted(set(sd) | set(pd) | set(md))
         if not dests:
-            return None, [], 0, time.perf_counter() - t0
+            return None, [], 0
         bundle = {
             "sd": np.asarray(sd, np.int32),
             "so": np.concatenate([[0], np.cumsum([len(v) for v in sync_parts])]).astype(np.int64),
@@ -289,19 +316,40 @@ class FragmentHost:
             "mc": [np.concatenate([msg_cols[i][j] for i in range(len(msg_cols))])
                    for j in range(len(msg_cols[0]))] if msg_cols else [],
         }
-        return ray.put(bundle), dests, sent, time.perf_counter() - t0
+        return bundle, dests, sent
 
-    def _apply(self, rnd: int, incoming: list) -> int:
+    def _produce_payload(self, rnd: int):
+        """Pack ALL hosted fragments' round-`rnd` exchanges into ONE
+        payload: one ray.put per host per round, and only when some
+        destination lives on another host — co-hosted consumption reads
+        the local dict directly (no object-store hop)."""
         import ray
 
-        f = self.frag
+        t0 = time.perf_counter()
+        parts, bundles, dest_parts = [], [], set()
+        sent = 0
+        if self._pool is not None:
+            packed = list(self._pool.map(lambda p: self._pack_one(p, rnd), self.parts))
+        else:
+            packed = [self._pack_one(p, rnd) for p in self.parts]
+        for p, (bundle, dests, s) in zip(self.parts, packed):
+            if bundle is not None:
+                parts.append(p)
+                bundles.append(bundle)
+                dest_parts.update(dests)
+                sent += s
+        payload = {"parts": parts, "bundles": bundles}
+        self._own_payload[rnd] = payload
+        remote = any(self.host_of[d] != self.host_id for d in dest_parts)
+        ref = ray.put(payload) if remote else None
+        return ref, sorted(dest_parts), sent, time.perf_counter() - t0
+
+    def _apply_one(self, part: int, rnd: int, pairs) -> int:
+        f = self.frags[part]
         outer_vals = None
         msgs = []
         pushes = []
-        # ONE batched get: 31 sequential gets cost ~5ms each in IPC
-        # latency; a single vectored get resolves them together
-        bundles = ray.get([ref for _, ref in incoming])
-        for (q, _), bundle in zip(incoming, bundles):
+        for q, bundle in pairs:
             i = int(np.searchsorted(bundle["sd"], f.part))
             if i < len(bundle["sd"]) and bundle["sd"][i] == f.part:
                 vals = bundle["sv"][bundle["so"][i]: bundle["so"][i + 1]]
@@ -319,15 +367,36 @@ class FragmentHost:
             if j < len(bundle["md"]) and bundle["md"][j] == f.part:
                 lo, hi = bundle["mo"][j], bundle["mo"][j + 1]
                 msgs.append(tuple(c[lo:hi] for c in bundle["mc"]))
-        return self.program.update(rnd, outer_vals, msgs, pushes)
+        return self.programs[part].update(rnd, outer_vals, msgs, pushes)
+
+    def _gather_pairs(self, rnd: int, incoming: list):
+        """incoming = remote host payload refs; plus this host's own
+        round-`rnd` payload (kept local, never ray.put when all dests
+        are co-hosted)."""
+        import ray
+
+        payloads = list(ray.get(incoming)) if incoming else []
+        own = self._own_payload.pop(rnd, None)
+        if own is not None:
+            payloads.append(own)
+        return [(q, b) for pl in payloads
+                for q, b in zip(pl["parts"], pl["bundles"])]
 
     def produce(self, rnd: int):
-        ref, dests, sent, dt = self._pack(rnd)
+        ref, dests, sent, dt = self._produce_payload(rnd)
         return {"ref": ref, "dests": dests, "sent": sent, "produce_s": dt}
+
+    def _apply_all(self, rnd: int, pairs) -> int:
+        if self._pool is not None:
+            futs = [self._pool.submit(self._apply_one, p, rnd, pairs)
+                    for p in self.parts]
+            return sum(f.result() for f in futs)
+        return sum(self._apply_one(p, rnd, pairs) for p in self.parts)
 
     def consume(self, rnd: int, incoming: list):
         t0 = time.perf_counter()
-        active = self._apply(rnd, incoming)
+        pairs = self._gather_pairs(rnd, incoming)
+        active = self._apply_all(rnd, pairs)
         return {"active": int(active), "consume_s": time.perf_counter() - t0}
 
     def step(self, rnd: int, incoming: list, ckpt_dir: str | None = None):
@@ -336,21 +405,27 @@ class FragmentHost:
         reference overlaps the same way: FinishARound posts sends while
         the next StartARound ingests, worker.h:87-133)."""
         t0 = time.perf_counter()
-        active = self._apply(rnd, incoming)
+        pairs = self._gather_pairs(rnd, incoming)
+        active = self._apply_all(rnd, pairs)
         t1 = time.perf_counter()
         if ckpt_dir:
             self.checkpoint(ckpt_dir, rnd)
-        ref, dests, sent, pack_s = self._pack(rnd + 1)
+        ref, dests, sent, pack_s = self._produce_payload(rnd + 1)
         return {"active": int(active), "ref": ref, "dests": dests,
                 "sent": sent, "step_s": time.perf_counter() - t0,
                 "apply_s": t1 - t0, "pack_s": pack_s}
 
-    def output(self):
-        return pa.table(self.program.output())
+    def output_part(self, part: int):
+        return pa.table(self.programs[part].output())
 
     # ---------------------------------------------------------- checkpoint
     def checkpoint(self, ckpt_dir: str, rnd: int):
-        arrays, scalars = self.program.state_dict()
+        for p in self.parts:
+            self._checkpoint_one(p, ckpt_dir, rnd)
+        return True
+
+    def _checkpoint_one(self, part: int, ckpt_dir: str, rnd: int):
+        arrays, scalars = self.programs[part].state_dict()
         step_dir = os.path.join(ckpt_dir, f"step={rnd}")
         os.makedirs(step_dir, exist_ok=True)
         lens = {k: len(v) for k, v in arrays.items()}
@@ -361,12 +436,12 @@ class FragmentHost:
                 pad = np.zeros(maxlen - len(v), dtype=v.dtype)
                 v = np.concatenate([v, pad])
             cols[k] = v
-        path = os.path.join(step_dir, f"part={self.frag.part}.parquet")
+        path = os.path.join(step_dir, f"part={part}.parquet")
         tmp = path + ".tmp"
         pq.write_table(pa.table(cols) if cols else pa.table({"_empty": pa.array([], pa.int8())}), tmp)
         os.replace(tmp, path)
         side = {"scalars": scalars, "lens": lens}
-        spath = os.path.join(step_dir, f"part={self.frag.part}.json")
+        spath = os.path.join(step_dir, f"part={part}.json")
         with open(spath + ".tmp", "w") as fjson:
             json.dump(side, fjson)
         os.replace(spath + ".tmp", spath)
@@ -375,24 +450,34 @@ class FragmentHost:
     def restore(self, name: str, params: dict, ckpt_dir: str, rnd: int):
         from . import programs
 
-        self.program = programs.PROGRAMS[name](self.frag, **params)
+        self._own_payload.clear()
         step_dir = os.path.join(ckpt_dir, f"step={rnd}")
-        with open(os.path.join(step_dir, f"part={self.frag.part}.json")) as fjson:
-            side = json.load(fjson)
-        t = pq.read_table(os.path.join(step_dir, f"part={self.frag.part}.parquet"))
-        arrays = {}
-        for k, n in side["lens"].items():
-            # force a writable copy (Arrow->NumPy views are read-only)
-            arrays[k] = np.array(t.column(k).to_numpy(zero_copy_only=False)[:n])
-        self.program.load_state(arrays, side["scalars"])
+        for p in self.parts:
+            prog = programs.PROGRAMS[name](self.frags[p], **params)
+            self.programs[p] = prog
+            with open(os.path.join(step_dir, f"part={p}.json")) as fjson:
+                side = json.load(fjson)
+            t = pq.read_table(os.path.join(step_dir, f"part={p}.parquet"))
+            arrays = {}
+            for k, n in side["lens"].items():
+                # force a writable copy (Arrow->NumPy views are read-only)
+                arrays[k] = np.array(t.column(k).to_numpy(zero_copy_only=False)[:n])
+            prog.load_state(arrays, side["scalars"])
         return True
 
 
 class GraphEngine:
-    """Owns the fragment actor pool for one built graph."""
+    """Owns the fragment actor pool for one built graph.
+
+    ``num_hosts`` (default: one host per partition) groups the P
+    logical fragments onto H actor processes — same sharded job at
+    every parallelism level, but per-round fixed costs (actor calls,
+    ray.puts, barrier size) scale with H, not P.  Size H to the
+    parallelism actually available (bench: min(P, num_cpus))."""
 
     def __init__(self, meta: GraphMeta, num_cpus_per_actor: float = 0.5,
-                 reuse_engine: "GraphEngine | None" = None):
+                 reuse_engine: "GraphEngine | None" = None,
+                 num_hosts: int | None = None):
         # fractional default so the fragment pool can never reserve every
         # CPU and starve Dataset read/consume stages into a scheduling
         # deadlock (actors block dataset tasks which the driver waits on)
@@ -400,48 +485,67 @@ class GraphEngine:
 
         self.meta = meta
         P = meta.num_partitions
+        H = max(1, min(int(num_hosts) if num_hosts else P, P))
+        self.num_hosts = H
+        groups = [list(map(int, g)) for g in np.array_split(np.arange(P), H)]
+        self.groups = groups
+        host_of = np.empty(P, np.int64)
+        for h, g in enumerate(groups):
+            host_of[g] = h
+        self.host_of = host_of
         vdata_cols = meta.extra.get("vdata_cols")
-        if reuse_engine is not None and len(reuse_engine.actors) == P:
+        spool_sorted = bool(meta.extra.get("spool_sorted"))
+        if (reuse_engine is not None and len(reuse_engine.actors) == H
+                and reuse_engine.groups == groups):
             # adopt the warm pool (ownership transfers; the donor engine
             # must not be used afterwards)
             self.actors = reuse_engine.actors
             reuse_engine.actors = []
             ray.get([
-                a.reload.remote(p, meta.work_dir, meta.starts.tolist(),
-                                meta.has_weights, bool(meta.extra.get("spool_sorted")),
-                                vdata_cols)
-                for p, a in enumerate(self.actors)
+                a.reload.remote(h, groups[h], host_of, meta.work_dir,
+                                meta.starts.tolist(), meta.has_weights,
+                                spool_sorted, vdata_cols)
+                for h, a in enumerate(self.actors)
             ])
         else:
+            if reuse_engine is not None:
+                reuse_engine.shutdown()
             Host = ray.remote(num_cpus=num_cpus_per_actor)(FragmentHost)
             self.actors = [
-                Host.remote(p, meta.work_dir, meta.starts.tolist(), meta.has_weights,
-                            bool(meta.extra.get("spool_sorted")), vdata_cols)
-                for p in range(P)
+                Host.remote(h, groups[h], host_of, meta.work_dir,
+                            meta.starts.tolist(), meta.has_weights,
+                            spool_sorted, vdata_cols)
+                for h in range(H)
             ]
         # mirror registration (one-time; csr_edgecut_fragment_base.h dest
         # lists) — packed refs through the object store, driver only routes
-        packed = ray.get([a.mirror_requests_packed.remote() for a in self.actors])
+        packed = ray.get([self._host(p).mirror_requests_packed.remote(p)
+                          for p in range(P)])
         to_owner: list[list] = [[] for _ in range(P)]
         for p, pk in enumerate(packed):
             for q in pk["dests"]:
                 to_owner[q].append((p, pk["ref"]))
-        ray.get([self.actors[q].register_from.remote(to_owner[q]) for q in range(P)])
+        ray.get([self._host(q).register_from.remote(q, to_owner[q])
+                 for q in range(P)])
         self.num_local_edges = sum(ray.get([a.edge_count.remote() for a in self.actors]))
         if vdata_cols:
             # one-time mirror vdata sync (uses the just-registered
             # export_lids; refs routed by the driver, data stays in plasma)
-            vx = ray.get([a.vdata_export.remote() for a in self.actors])
+            vx = ray.get([self._host(p).vdata_export.remote(p) for p in range(P)])
             v_owner: list[list] = [[] for _ in range(P)]
             for p, pk in enumerate(vx):
                 for q in pk["dests"]:
                     v_owner[q].append((p, pk["ref"]))
-            ray.get([self.actors[q].vdata_fill.remote(v_owner[q]) for q in range(P)])
+            ray.get([self._host(q).vdata_fill.remote(q, v_owner[q])
+                     for q in range(P)])
         # prime plasma client connections between every actor pair once
         # (the first cross-actor object exchange otherwise costs seconds
         # on the first algorithm round)
         refs = ray.get([a.warmup_put.remote() for a in self.actors])
         ray.get([a.warmup_get.remote(refs) for a in self.actors])
+
+    def _host(self, part: int):
+        return self.actors[self.host_of[part]]
 
     def wait_prewarm(self):
         """Block until every fragment actor's background heap prewarm
@@ -463,10 +567,10 @@ class GraphEngine:
         """Run a program to termination; returns (result Dataset of
         per-inner-vertex outputs in gid space, run metrics dict)."""
         import ray
-        import ray.data as rd
 
         params = dict(params or {})
         P = self.meta.num_partitions
+        H = self.num_hosts
         metrics = {"rounds": 0, "program": program, "round_log": []}
         r0 = 1
         resumed_from = None
@@ -512,6 +616,20 @@ class GraphEngine:
             except Exception:
                 pass  # best-effort: normal ref GC still applies
 
+        def _route(prod):
+            """host-level routing: host h2 receives h1's payload ref iff
+            some destination partition of h1 lives on h2 (co-hosted
+            destinations consume the local payload, no ref)."""
+            incoming: list[list] = [[] for _ in range(H)]
+            sent = 0
+            for h, out in enumerate(prod):
+                sent += out["sent"]
+                if out["ref"] is None:
+                    continue
+                for h2 in sorted({int(self.host_of[p]) for p in out["dests"]} - {h}):
+                    incoming[h2].append(out["ref"])
+            return incoming, sent
+
         t_start = time.perf_counter()
         # fused-step loop: produce(r0) once, then one RPC barrier per
         # round (consume r + produce r+1 in the same actor call)
@@ -519,16 +637,11 @@ class GraphEngine:
         r = r0 - 1
         last_ckpt = None
         for r in range(r0, max_rounds + 1):
-            incoming: list[list] = [[] for _ in range(P)]
-            sent = 0
-            for q, out in enumerate(prod):
-                sent += out["sent"]
-                for p in out["dests"]:
-                    incoming[p].append((q, out["ref"]))
+            incoming, sent = _route(prod)
             do_ckpt = bool(ckpt_dir and checkpoint_every and r % checkpoint_every == 0)
             res = ray.get(
-                [a.step.remote(r, incoming[p], ckpt_dir if do_ckpt else None)
-                 for p, a in enumerate(self.actors)]
+                [a.step.remote(r, incoming[h], ckpt_dir if do_ckpt else None)
+                 for h, a in enumerate(self.actors)]
             )
             _free_bundles(prod)  # round-r bundles: consumed by the barrier above
             active = sum(x["active"] for x in res)
@@ -557,7 +670,8 @@ class GraphEngine:
         metrics["supersteps_per_s"] = (
             (metrics["rounds"] - (r0 - 1)) / metrics["wall_s"] if metrics["wall_s"] > 0 else 0.0
         )
-        return ResultHandle([a.output.remote() for a in self.actors]), metrics
+        out_refs = [self._host(p).output_part.remote(p) for p in range(P)]
+        return ResultHandle(out_refs), metrics
 
     # ---------------------------------------------------------- checkpoints
     def _manifest_path(self, ckpt_dir: str, rnd: int) -> str:
