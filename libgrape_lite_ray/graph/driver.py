@@ -130,12 +130,27 @@ class FragmentHost:
         sized for the hungriest (LCC wedge machinery ~24B/edge) plus a
         per-vertex base.  Overlaps registration/earlier programs; with
         keep_heap_resident the pages are then reused at DRAM speed
-        instead of fault-stalling inside timed superstep barriers."""
-        from ..memtune import prewarm_heap_async
+        instead of fault-stalling inside timed superstep barriers.
+
+        The per-actor cap is memory-aware: keep_heap_resident never
+        returns these pages, so with H co-scheduled hosts the fleet
+        retains H x cap at its high-water mark forever.  Cap each actor
+        at a fair share of ~35% of currently-available memory (and the
+        absolute 2 GiB ceiling) so 32 hosts on a small box cannot
+        ratchet the machine into OOM.  ``LGR_PREWARM_CAP_MB`` overrides
+        (0 disables)."""
+        from ..memtune import available_memory, prewarm_heap_async
 
         nbytes = sum(24 * f.num_local_edges + 16 * f.tvnum
                      for f in self.frags.values()) + (64 << 20)
-        self._prewarm_t = prewarm_heap_async(nbytes)
+        env = os.environ.get("LGR_PREWARM_CAP_MB")
+        if env is not None:
+            cap = int(env) << 20
+        else:
+            n_hosts = max(1, len(np.unique(self.host_of)))
+            fair = int(available_memory() * 0.35) // n_hosts
+            cap = min(2 << 30, fair)
+        self._prewarm_t = prewarm_heap_async(nbytes, cap=cap)
 
     def join_prewarm(self) -> bool:
         """Block until the heap prewarm finished (harness hook: callers

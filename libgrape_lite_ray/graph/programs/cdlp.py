@@ -64,8 +64,11 @@ class CDLP(VertexProgram):
         self.step = 0
         self.done = self.rounds <= 0
         # labels start as gids -> globally distinct: the first _mode is
-        # a pure min-reduce (see module docstring)
-        self._all_distinct = True
+        # a pure min-reduce (see module docstring).  Only valid when the
+        # adjacency is multi-edge-free: weighted graphs retain parallel
+        # edges by design, so a twice-seen neighbor has label count 2
+        # and the true mode can differ from the min neighbor label.
+        self._all_distinct = self.frag.edge_w is None
         # changed-count from the previous round drives the adaptive
         # sort kind; init high = assume high entropy
         self._prev_changed = self.frag.ivnum

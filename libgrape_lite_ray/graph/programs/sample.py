@@ -10,6 +10,10 @@ its out-neighbors (gids).  ``strategy``:
   (seed, partition);
 - ``topk``: highest edge weight first (requires a weighted graph),
   ties broken by neighbor gid — deterministic.
+- ``weighted``: probability proportional to edge weight, WITH
+  replacement (k draws), via cached per-vertex accumulated-weight
+  prefix arrays — the reference's fragment_indices.h:71-97
+  accumulated-weight indices.  Deterministic per (seed, partition).
 
 Multi-hop sampling composes by re-running over the frontier of sampled
 vertices (driver loop), as the reference's hop_and_num walk does.
@@ -55,6 +59,17 @@ class SampleNeighbors(VertexProgram):
             self._dst = np.empty(0, np.int64)
             return 0
         all_gids = f.all_gids()
+        if self.strategy == "weighted":
+            # k weight-proportional draws WITH replacement per vertex
+            # (accumulated-weight indices, fragment_indices.h:71-97).
+            lids = np.flatnonzero(np.diff(f.indptr) > 0).astype(np.int64)
+            salt = np.uint64((self.seed * 0x9E3779B97F4A7C15) % 2**64)
+            base = _mix64((f.lo + lids).astype(np.uint64) ^ salt)
+            keep, epos = _weighted_epos(f, lids, k, base)
+            lids = lids[keep]
+            self._src = np.repeat(f.lo + lids, k)
+            self._dst = all_gids[f.indices[epos.ravel()]]
+            return 0
         nbr = all_gids[f.indices]
         src_seg = f.src_of_edge.astype(np.int64)
         if self.strategy == "topk" and f.edge_w is not None:
@@ -78,6 +93,58 @@ class SampleNeighbors(VertexProgram):
 
     def load_state(self, arrays, scalars):
         self._src, self._dst = arrays["src"], arrays["dst"]
+
+
+def _cum_weights(frag) -> np.ndarray:
+    """Global per-edge weight prefix-sum P (P[0]=0, P[j]=Σ w[:j]),
+    cached on the fragment — the accumulated-weight index of the
+    reference's fragment_indices.h:71-97, built once per fragment.
+    P is monotone non-decreasing (weights validated ≥ 0), so ONE
+    global ``searchsorted`` serves every vertex's CSR slice."""
+    P = getattr(frag, "_sampler_cumw", None)
+    if P is None:
+        if frag.edge_w is None:
+            raise ValueError("strategy='weighted' requires a weighted graph")
+        w = np.asarray(frag.edge_w, dtype=np.float64)
+        if len(w) and w.min() < 0:
+            raise ValueError("weighted sampling requires non-negative edge weights")
+        P = np.concatenate(([0.0], np.cumsum(w)))
+        frag._sampler_cumw = P
+    return P
+
+
+def _u01(bits: np.ndarray) -> np.ndarray:
+    """uint64 bits → uniform float64 in [0, 1)."""
+    return (bits >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _weighted_epos(frag, lids, k: int, base_hash: np.ndarray):
+    """Vectorized weight-proportional edge draws (WITH replacement).
+
+    For each row i with CSR slice [s_i, e_i): k draws, each landing on
+    edge j with probability w_j / W_i, via inverse-CDF searchsorted
+    into the global prefix array.  Returns (keep_mask over input rows,
+    epos int64 array of shape (n_kept, k)) — epos are global edge
+    positions.  Rows with zero total weight are dropped (no mass to
+    sample), mirroring the reference's skip of weightless vertices.
+    """
+    P = _cum_weights(frag)
+    s = frag.indptr[lids].astype(np.int64)
+    e = frag.indptr[lids + 1].astype(np.int64)
+    W = P[e] - P[s]
+    keep = W > 0
+    if not keep.all():
+        s, e, W, base_hash = s[keep], e[keep], W[keep], base_hash[keep]
+    if not len(s):
+        return keep, np.empty((0, k), np.int64)
+    draws = _mix64(base_hash[:, None] + _GOLD * np.arange(1, k + 1, dtype=np.uint64)[None, :])
+    vals = P[s][:, None] + _u01(draws) * W[:, None]
+    epos = np.searchsorted(P, vals.ravel(), side="right").reshape(len(s), k) - 1
+    np.clip(epos, s[:, None], e[:, None] - 1, out=epos)
+    return keep, epos
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -170,6 +237,14 @@ class MultiHopSampler(VertexProgram):
         roots, lids, deg = roots[nz], lids[nz], deg[nz]
         if not len(lids):
             return (np.empty(0, np.int64),) * 3
+        if self.strategy == "weighted":
+            salt = np.uint64((self.seed * 0x9E3779B97F4A7C15) % 2**64)
+            base = _mix64(roots.astype(np.uint64) ^ salt ^ np.uint64(hop + 1)) \
+                ^ _mix64((f.lo + lids).astype(np.uint64))
+            keep, epos = _weighted_epos(f, lids, k, base)
+            roots, lids = roots[keep], lids[keep]
+            nbr_gid = f.all_gids()[f.indices[epos.ravel()]]
+            return (np.repeat(roots, k), np.repeat(f.lo + lids, k), nbr_gid)
         kk = np.minimum(deg, k)
         if self.strategy == "topk":
             start = np.zeros(len(lids), dtype=np.int64)
@@ -192,7 +267,10 @@ class MultiHopSampler(VertexProgram):
             roots = np.concatenate([np.asarray(m[0], np.int64) for m in msgs])
             vs = np.concatenate([np.asarray(m[1], np.int64) for m in msgs])
         else:
-            roots, vs = self._pend_root, self._pend_v
+            # _pend_* only carry the hop-1 seed frontier; at hop >= 2 an
+            # empty inbox means no frontier reached this partition.
+            roots = self._pend_root if self._pend_root is not None else np.empty(0, np.int64)
+            vs = self._pend_v if self._pend_v is not None else np.empty(0, np.int64)
         self._pend_root = self._pend_v = None
         k = self.hops[self._hop]
         r_out, s_out, d_out = self._sample_pairs(roots, vs, k, self._hop)
@@ -221,9 +299,19 @@ class MultiHopSampler(VertexProgram):
         hops, roots, srcs, dsts = (
             (np.concatenate(x) for x in zip(*self._out)) if self._out
             else (np.empty(0, np.int64),) * 4)
+        # _next (the routed frontier produced in this round) must survive a
+        # checkpoint: flatten owner->(roots, vs) into three parallel arrays.
+        if self._next:
+            nxt_o = np.concatenate([np.full(len(r), q, np.int64)
+                                    for q, (r, _v) in self._next.items()])
+            nxt_r = np.concatenate([np.asarray(r, np.int64) for r, _v in self._next.values()])
+            nxt_v = np.concatenate([np.asarray(v, np.int64) for _r, v in self._next.values()])
+        else:
+            nxt_o = nxt_r = nxt_v = np.empty(0, np.int64)
         arrays = {"hop": hops, "root": roots, "src": srcs, "dst": dsts,
                   "pr": self._pend_root if self._pend_root is not None else np.empty(0, np.int64),
-                  "pv": self._pend_v if self._pend_v is not None else np.empty(0, np.int64)}
+                  "pv": self._pend_v if self._pend_v is not None else np.empty(0, np.int64),
+                  "nxt_o": nxt_o, "nxt_r": nxt_r, "nxt_v": nxt_v}
         return arrays, {"hop_i": self._hop, "done": bool(self.done)}
 
     def load_state(self, arrays, scalars):
@@ -232,3 +320,9 @@ class MultiHopSampler(VertexProgram):
         self._hop = int(scalars["hop_i"])
         self.done = bool(scalars["done"])
         self._next = {}
+        nxt_o = arrays.get("nxt_o")
+        if nxt_o is not None and len(nxt_o):
+            nxt_r, nxt_v = arrays["nxt_r"], arrays["nxt_v"]
+            for q in np.unique(nxt_o):
+                m = nxt_o == q
+                self._next[int(q)] = (nxt_r[m], nxt_v[m])

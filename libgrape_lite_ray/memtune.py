@@ -56,6 +56,26 @@ def keep_heap_resident() -> bool:
         return False
 
 
+def available_memory() -> int:
+    """Bytes of currently-available system memory (MemAvailable), with
+    a conservative 4 GiB fallback when /proc is absent.  Used to size
+    per-actor resident-heap caps so a fleet of fragment hosts cannot
+    collectively ratchet the machine into OOM."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    try:
+        import psutil
+
+        return int(psutil.virtual_memory().available)
+    except Exception:
+        return 4 << 30
+
+
 def prewarm_heap_async(nbytes: int, cap: int = 2 << 30,
                        deadline_s: float | None = None):
     """Pre-fault ~nbytes of heap in a background thread.

@@ -90,3 +90,39 @@ def test_manifest_lineage(ray_session, tmp_work):
     assert m["algorithm"] == "wcc"
     assert m["num_partitions"] == 2
     assert "round_log" in m
+
+
+def test_multihop_resume_keeps_frontier(ray_session, tmp_work):
+    """Regression (round-4 ADVICE): resuming sample_multihop from a
+    mid-walk checkpoint must restore the routed frontier (_next), or
+    every remaining hop silently produces nothing."""
+    n = 150
+    src, dst = fixtures.zipf_graph(n=n, m=1200)
+    meta = build_graph(edges_from_numpy(src, dst), os.path.join(tmp_work, "gmh"), 3,
+                       directed=True, fingerprint="ckpt-mh")
+    ckpt = os.path.join(tmp_work, "ckpt-mh")
+    args = {"sources": [0, 1, 2], "hop_and_num": [2, 2, 2],
+            "strategy": "random", "seed": 3}
+
+    eng = GraphEngine(meta)
+    ds, m_full = eng.run("sample_multihop", args, ckpt_dir=ckpt, checkpoint_every=1)
+    full = ds.to_pandas().sort_values(
+        ["hop", "root_gid", "src_gid", "dst_gid"]).reset_index(drop=True)
+    eng.shutdown()
+    assert set(full["hop"]) == {1, 2, 3}
+
+    import shutil
+
+    for d in os.listdir(ckpt):
+        if d.startswith("step=") and int(d.split("=")[1]) > 1:
+            shutil.rmtree(os.path.join(ckpt, d))
+
+    eng2 = GraphEngine(meta)
+    ds2, m = eng2.run("sample_multihop", args, ckpt_dir=ckpt,
+                      checkpoint_every=1, resume=True)
+    resumed = ds2.to_pandas().sort_values(
+        ["hop", "root_gid", "src_gid", "dst_gid"]).reset_index(drop=True)
+    eng2.shutdown()
+
+    assert m["resumed_from"] == 1
+    assert full.equals(resumed)

@@ -366,3 +366,123 @@ def test_multihop_sampler(ray_session, tmp_work, P):
     g2 = dsr2.to_pandas().sort_values(["hop", "root_gid", "src_gid", "dst_gid"]).reset_index(drop=True)
     assert g1.equals(g2)
     eng.shutdown()
+
+
+def test_multihop_sparse_frontier_empty_partition(ray_session, tmp_work):
+    """Regression (round-4 ADVICE): a partition receiving NO frontier
+    pairs at hop >= 2 must not crash — a chain graph with one source
+    leaves most partitions' inboxes empty every round."""
+    import os
+
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    meta = build_graph(edges_from_numpy(src, dst), os.path.join(tmp_work, "chain"),
+                       4, directed=True)
+    eng = GraphEngine(meta)
+    try:
+        ds, _ = eng.run("sample_multihop",
+                        {"sources": [0], "hop_and_num": [1, 1], "strategy": "topk"})
+        got = set(map(tuple, ds.to_pandas()[["hop", "root_gid", "src_gid", "dst_gid"]]
+                      .itertuples(index=False)))
+        assert got == {(1, 0, 0, 1), (2, 0, 1, 2)}
+    finally:
+        eng.shutdown()
+
+
+def test_sample_weighted_distribution_and_determinism(ray_session, tmp_work):
+    """strategy='weighted' (fragment_indices.h:71-97 accumulated-weight
+    indices): draws are edge-weight-proportional (chi-square), WITH
+    replacement, deterministic per seed, and zero-weight edges are
+    never drawn."""
+    import os
+
+    # star: hub 0 -> {1..5}, weights 1,2,3,4,0 (edge to 5 has zero mass)
+    src = np.zeros(5, dtype=np.int64)
+    dst = np.arange(1, 6, dtype=np.int64)
+    w = np.array([1.0, 2.0, 3.0, 4.0, 0.0])
+    meta = build_graph(edges_from_numpy(src, dst, w), os.path.join(tmp_work, "wsmp"),
+                       2, directed=True, weight_col="w")
+    eng = GraphEngine(meta)
+    try:
+        k = 4000
+        ds, _ = eng.run("sample_neighbors", {"k": k, "strategy": "weighted", "seed": 11})
+        df = ds.to_pandas()
+        hub = df[df["gid"] == df["gid"].min()]  # gid of oid 0
+        assert len(hub) == k  # with replacement: exactly k draws
+        counts = hub["sampled_gid"].value_counts()
+        assert len(counts) == 4  # zero-weight edge never drawn
+        # chi-square vs expected proportions 1:2:3:4 (df=3, alpha=0.001 -> 16.27)
+        obs = counts.sort_index().to_numpy(dtype=float)
+        exp = np.array([1, 2, 3, 4], dtype=float) / 10.0 * k
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+        assert chi2 < 16.27, f"chi2={chi2}, obs={obs}"
+        # deterministic per seed, different across seeds
+        ds2, _ = eng.run("sample_neighbors", {"k": k, "strategy": "weighted", "seed": 11})
+        assert df.sort_values(["gid", "sampled_gid"]).reset_index(drop=True).equals(
+            ds2.to_pandas().sort_values(["gid", "sampled_gid"]).reset_index(drop=True))
+        ds3, _ = eng.run("sample_neighbors", {"k": k, "strategy": "weighted", "seed": 12})
+        assert not df.equals(ds3.to_pandas())
+    finally:
+        eng.shutdown()
+
+
+def test_multihop_weighted(ray_session, tmp_work):
+    """Weighted multi-hop walk: every sampled edge exists, each
+    (hop, root, v) visit yields exactly k with-replacement draws, all
+    hops produce output, and the walk is seed-deterministic."""
+    import os
+
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    n, m = 60, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.1, 5.0, len(src))
+    meta = build_graph(edges_from_numpy(src, dst, w), os.path.join(tmp_work, "wmh"),
+                       3, directed=True, weight_col="w")
+    eng = GraphEngine(meta)
+    try:
+        args = {"sources": [0, 1], "hop_and_num": [2, 3],
+                "strategy": "weighted", "seed": 9}
+        ds, _ = eng.run("sample_multihop", args)
+        g = ds.to_pandas()
+        edge_set = set(zip(src.tolist(), dst.tolist()))
+        assert all((s, d) in edge_set for s, d in
+                   zip(g["src_gid"], g["dst_gid"]))
+        assert set(g["hop"]) == {1, 2}
+        ks = {1: 2, 2: 3}
+        sizes = g.groupby(["hop", "root_gid", "src_gid"]).size()
+        assert all(sz % ks[h] == 0 for (h, _r, _s), sz in sizes.items())
+        ds2, _ = eng.run("sample_multihop", args)
+        key = ["hop", "root_gid", "src_gid", "dst_gid"]
+        assert g.sort_values(key).reset_index(drop=True).equals(
+            ds2.to_pandas().sort_values(key).reset_index(drop=True))
+    finally:
+        eng.shutdown()
+
+
+def test_cdlp_multiedge_weighted(ray_session, tmp_work):
+    """Regression (round-4 ADVICE): weighted builds retain parallel
+    edges, so CDLP's first-round all-distinct shortcut (mode == min
+    neighbor label) is invalid — a twice-seen neighbor label has count
+    2 and must win the mode even when a smaller label appears once."""
+    import os
+
+    # vertex 2 sees label(0) once and label(1) twice (parallel edges)
+    src = np.array([2, 2, 2, 0, 1, 1], dtype=np.int64)
+    dst = np.array([0, 1, 1, 2, 2, 2], dtype=np.int64)
+    w = np.ones(len(src))
+    meta = build_graph(edges_from_numpy(src, dst, w), os.path.join(tmp_work, "cme"),
+                       2, directed=True, weight_col="w")
+    eng = GraphEngine(meta)
+    try:
+        ds, _ = eng.run("cdlp", {"rounds": 1})
+        df = ds.to_pandas().sort_values("gid").reset_index(drop=True)
+        # gids are dense ranks of oids 0,1,2 -> label of vertex 2 must
+        # be gid(1) (mode, count 2), not gid(0) (min, count 1)
+        assert df.loc[2, "label"] == df.loc[1, "gid"]
+    finally:
+        eng.shutdown()
