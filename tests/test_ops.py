@@ -223,3 +223,52 @@ def test_video_frame_sample(ray_session):
     dec = rd.from_arrow(frames).map_batches(
         DecodeImage, batch_format="pyarrow", batch_size=4, concurrency=1).to_pandas()
     assert (dec["width"] == 8).all()
+
+
+def test_pair_ops_return_datasets_and_empty_path(ray_session):
+    """Round-3 verdict fix #2: pair ops are Dataset end-to-end — the
+    return value is a Dataset, and a corpus with no candidates flows
+    through the empty path with the right schema."""
+    from ray.data import Dataset
+
+    from libgrape_lite_ray.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+    distinct = [f"totally unique document number {i} with words w{i} x{i*7} y{i*13} z{i*29}"
+                for i in range(8)]
+    ds = _docs_ds(distinct)
+    out = minhash_lsh_pairs(ds, threshold=0.9)
+    assert isinstance(out, Dataset)
+    # Ray's to_pandas drops columns on 0-row datasets; the schema is
+    # what downstream joins/writes see
+    assert out.schema().names == ["a", "b", "jaccard"]
+    assert out.count() == 0
+    out2 = simhash_pairs(ds, max_hamming=0)
+    assert isinstance(out2, Dataset)
+    assert out2.schema().names == ["a", "b"] and out2.count() == 0
+
+
+def test_candidate_payload_join_route_matches_broadcast(ray_session):
+    """The distributed-join semi-join fallback (candidate-ID universe
+    too big to broadcast) must produce the same verified pairs as the
+    broadcast route."""
+    from libgrape_lite_ray.ops import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    texts = [base, base.replace("kappa", "lambda"), "other thing entirely distinct",
+             base]
+    ds = _docs_ds(texts, [5, 6, 7, 8])
+    want = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+    orig = dd._candidate_payload
+
+    def forced_join(src_ds, pairs_m, key, emit_fn, broadcast_ids=50_000_000):
+        return orig(src_ds, pairs_m, key, emit_fn, broadcast_ids=0)
+
+    dd._candidate_payload = forced_join
+    try:
+        got = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+    finally:
+        dd._candidate_payload = orig
+    assert want.equals(got) and len(want) > 0
