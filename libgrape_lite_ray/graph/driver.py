@@ -252,7 +252,10 @@ class FragmentHost:
         return {"ref": ray.put(bundle), "dests": dests}
 
     def register_from(self, part: int, incoming):
-        """incoming = [(requester_part, packed_ref), ...]"""
+        """incoming = [(requester_part, packed_ref), ...].  Always a
+        FULL re-registration: the engine passes every requester's list,
+        so stale export entries (a requester whose mirror set shrank
+        after a mutation) are dropped."""
         import ray
 
         f = self.frags[part]
@@ -262,16 +265,26 @@ class FragmentHost:
             i = int(np.searchsorted(b["d"], f.part))
             if i < len(b["d"]) and b["d"][i] == f.part:
                 reqs[q] = b["g"][b["o"][i]: b["o"][i + 1]]
+        f.export_lids.clear()
         f.register_requests(reqs)
         return True
 
-    def init_program(self, name: str, params: dict) -> dict:
-        from . import programs
+    def _program_cls(self, name):
+        """Registry lookup by name, or a VertexProgram CLASS shipped
+        directly (cloudpickled by Ray) — the user-extension surface for
+        programs not in the PROGRAMS registry (SURVEY §2.10)."""
+        if isinstance(name, str):
+            from . import programs
 
+            return programs.PROGRAMS[name]
+        return name
+
+    def init_program(self, name, params: dict) -> dict:
         self._own_payload.clear()
+        cls = self._program_cls(name)
         agg: dict = {}
         for p in self.parts:
-            prog = programs.PROGRAMS[name](self.frags[p], **params)
+            prog = cls(self.frags[p], **params)
             self.programs[p] = prog
             for k, v in prog.init().items():
                 agg[k] = agg.get(k, 0) + v
@@ -414,21 +427,78 @@ class FragmentHost:
         active = self._apply_all(rnd, pairs)
         return {"active": int(active), "consume_s": time.perf_counter() - t0}
 
-    def step(self, rnd: int, incoming: list, ckpt_dir: str | None = None):
+    def step(self, rnd: int, incoming: list, ckpt_dir: str | None = None,
+             muts_in: dict | None = None):
         """Fused superstep: consume round `rnd`, then produce round
         `rnd`+1 — one RPC barrier per round instead of two (the
         reference overlaps the same way: FinishARound posts sends while
-        the next StartARound ingests, worker.h:87-133)."""
+        the next StartARound ingests, worker.h:87-133).
+
+        ``muts_in`` (per-superstep mutation, worker.h:176-187): edge
+        ops queued in round ``rnd``-1 and routed by the driver.  They
+        apply AFTER this round's exchange is consumed (so every
+        in-flight payload was produced and consumed on the same
+        topology); the step then skips produce — the driver re-registers
+        mirrors across the fleet before asking for round ``rnd``+1.
+        """
         t0 = time.perf_counter()
         pairs = self._gather_pairs(rnd, incoming)
         active = self._apply_all(rnd, pairs)
         t1 = time.perf_counter()
+        if muts_in is not None:
+            active += self.apply_mutations(muts_in)
+            return {"active": int(active), "ref": None, "dests": [],
+                    "sent": 0, "mut_applied": True,
+                    "step_s": time.perf_counter() - t0,
+                    "apply_s": t1 - t0, "pack_s": 0.0}
         if ckpt_dir:
             self.checkpoint(ckpt_dir, rnd)
         ref, dests, sent, pack_s = self._produce_payload(rnd + 1)
+        muts_out = self._harvest_mutations()
         return {"active": int(active), "ref": ref, "dests": dests,
-                "sent": sent, "step_s": time.perf_counter() - t0,
+                "sent": sent, "muts": muts_out,
+                "step_s": time.perf_counter() - t0,
                 "apply_s": t1 - t0, "pack_s": pack_s}
+
+    def _harvest_mutations(self):
+        """Collect edge ops the hosted programs queued during this
+        round's update (MutationContext add_edge/remove_edge analog,
+        grape/app/mutation_context.h:79-133).  Returns one packed dict
+        of gid-space arrays or None."""
+        packs = []
+        for prog in self.programs.values():
+            m = prog.take_mutations() if hasattr(prog, "take_mutations") else None
+            if m is not None:
+                packs.append(m)
+        if not packs:
+            return None
+        return {k: np.concatenate([p[k] for p in packs])
+                for k in ("op", "src", "dst", "w")}
+
+    def apply_mutations(self, muts: dict) -> int:
+        """Apply routed edge ops to the local fragments (CSR rebuild
+        in-actor) and remap each program's state onto the new layout.
+        Returns extra active count from the programs' ``on_mutation``
+        hooks (a converged program re-arms itself when new edges can
+        change its fixpoint)."""
+        part = np.asarray(muts["part"], np.int64)
+        extra = 0
+        for p in self.parts:
+            m = part == p
+            if not m.any():
+                continue
+            f = self.frags[p]
+            old_outer = np.asarray(f.outer_gids, np.int64).copy()
+            f.apply_edge_mutations(
+                np.asarray(muts["op"], np.int8)[m],
+                np.asarray(muts["src"], np.int64)[m],
+                np.asarray(muts["dst"], np.int64)[m],
+                np.asarray(muts["w"], np.float64)[m],
+            )
+            prog = self.programs.get(p)
+            if prog is not None:
+                extra += int(prog.on_mutation(old_outer))
+        return extra
 
     def output_part(self, part: int):
         return pa.table(self.programs[part].output())
@@ -462,13 +532,12 @@ class FragmentHost:
         os.replace(spath + ".tmp", spath)
         return True
 
-    def restore(self, name: str, params: dict, ckpt_dir: str, rnd: int):
-        from . import programs
-
+    def restore(self, name, params: dict, ckpt_dir: str, rnd: int):
         self._own_payload.clear()
+        cls = self._program_cls(name)
         step_dir = os.path.join(ckpt_dir, f"step={rnd}")
         for p in self.parts:
-            prog = programs.PROGRAMS[name](self.frags[p], **params)
+            prog = cls(self.frags[p], **params)
             self.programs[p] = prog
             with open(os.path.join(step_dir, f"part={p}.json")) as fjson:
                 side = json.load(fjson)
@@ -532,27 +601,13 @@ class GraphEngine:
                             spool_sorted, vdata_cols)
                 for h in range(H)
             ]
+        self._vdata_cols = vdata_cols
         # mirror registration (one-time; csr_edgecut_fragment_base.h dest
         # lists) — packed refs through the object store, driver only routes
-        packed = ray.get([self._host(p).mirror_requests_packed.remote(p)
-                          for p in range(P)])
-        to_owner: list[list] = [[] for _ in range(P)]
-        for p, pk in enumerate(packed):
-            for q in pk["dests"]:
-                to_owner[q].append((p, pk["ref"]))
-        ray.get([self._host(q).register_from.remote(q, to_owner[q])
-                 for q in range(P)])
+        self._register_mirrors()
         self.num_local_edges = sum(ray.get([a.edge_count.remote() for a in self.actors]))
         if vdata_cols:
-            # one-time mirror vdata sync (uses the just-registered
-            # export_lids; refs routed by the driver, data stays in plasma)
-            vx = ray.get([self._host(p).vdata_export.remote(p) for p in range(P)])
-            v_owner: list[list] = [[] for _ in range(P)]
-            for p, pk in enumerate(vx):
-                for q in pk["dests"]:
-                    v_owner[q].append((p, pk["ref"]))
-            ray.get([self._host(q).vdata_fill.remote(q, v_owner[q])
-                     for q in range(P)])
+            self._sync_vdata()
         # prime plasma client connections between every actor pair once
         # (the first cross-actor object exchange otherwise costs seconds
         # on the first algorithm round)
@@ -562,6 +617,38 @@ class GraphEngine:
     def _host(self, part: int):
         return self.actors[self.host_of[part]]
 
+    def _register_mirrors(self):
+        """(Re-)run the mirror-registration exchange for every
+        partition.  Called once at engine start, and again after any
+        per-superstep mutation round (mutated fragments may request a
+        different mirror set; owners' export lists are rebuilt)."""
+        import ray
+
+        P = self.meta.num_partitions
+        packed = ray.get([self._host(p).mirror_requests_packed.remote(p)
+                          for p in range(P)])
+        to_owner: list[list] = [[] for _ in range(P)]
+        for p, pk in enumerate(packed):
+            for q in pk["dests"]:
+                to_owner[q].append((p, pk["ref"]))
+        ray.get([self._host(q).register_from.remote(q, to_owner[q])
+                 for q in range(P)])
+
+    def _sync_vdata(self):
+        """One-time (and post-mutation) mirror vdata sync: uses the
+        just-registered export_lids; refs routed by the driver, data
+        stays in plasma."""
+        import ray
+
+        P = self.meta.num_partitions
+        vx = ray.get([self._host(p).vdata_export.remote(p) for p in range(P)])
+        v_owner: list[list] = [[] for _ in range(P)]
+        for p, pk in enumerate(vx):
+            for q in pk["dests"]:
+                v_owner[q].append((p, pk["ref"]))
+        ray.get([self._host(q).vdata_fill.remote(q, v_owner[q])
+                 for q in range(P)])
+
     def wait_prewarm(self):
         """Block until every fragment actor's background heap prewarm
         finished (see FragmentHost._prewarm) — lets a benchmark absorb
@@ -569,6 +656,36 @@ class GraphEngine:
         import ray
 
         ray.get([a.join_prewarm.remote() for a in self.actors])
+
+    def _route_mutations(self, packs: list, H: int):
+        """Pack queued gid-space edge ops into one routed dict per host
+        (owner of src = part_of(src)); symmetrized graphs apply each op
+        in both directions, like mutate.py.  Returns a list of dicts
+        (or None) indexed by host."""
+        from ..ids import part_of
+
+        cat = {k: np.concatenate([np.asarray(p[k]) for p in packs])
+               for k in ("op", "src", "dst", "w")}
+        op = cat["op"].astype(np.int8)
+        src = cat["src"].astype(np.int64)
+        dst = cat["dst"].astype(np.int64)
+        w = cat["w"].astype(np.float64)
+        V = int(self.meta.num_vertices)
+        if len(src) and (min(src.min(), dst.min()) < 0
+                         or max(src.max(), dst.max()) >= V):
+            raise ValueError("mutation gid outside vertex universe")
+        if not self.meta.directed:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            op = np.concatenate([op, op])
+            w = np.concatenate([w, w])
+        part = part_of(src, self.meta.starts)
+        host = self.host_of[part]
+        out: list[dict | None] = []
+        for h in range(H):
+            m = host == h
+            out.append({"part": part[m], "op": op[m], "src": src[m],
+                        "dst": dst[m], "w": w[m]} if m.any() else None)
+        return out
 
     def run(
         self,
@@ -578,19 +695,33 @@ class GraphEngine:
         ckpt_dir: str | None = None,
         checkpoint_every: int = 0,
         resume: bool = False,
+        mutation_schedule: dict | None = None,
     ):
         """Run a program to termination; returns (result Dataset of
-        per-inner-vertex outputs in gid space, run metrics dict)."""
+        per-inner-vertex outputs in gid space, run metrics dict).
+
+        ``mutation_schedule``: {round: ops} of driver-injected edge
+        mutations — ops is a dict of gid-space arrays ``op`` (0=add/
+        upsert, 1=delete), ``src``, ``dst``, ``w``.  Ops scheduled for
+        round r behave exactly like ops a program queued during round
+        r's update: they apply at the r+1 barrier, after round r+1's
+        exchange is consumed (worker.h:176-187 processMutation timing).
+        Mutations are in-memory for this engine's lifetime; checkpoint
+        durability of the mutated topology is mutate_graph's job, so
+        checkpointing is skipped on the round a mutation applies.
+        """
         import ray
 
         params = dict(params or {})
         P = self.meta.num_partitions
         H = self.num_hosts
-        metrics = {"rounds": 0, "program": program, "round_log": []}
+        metrics = {"rounds": 0, "round_log": [],
+                   "program": program if isinstance(program, str)
+                   else getattr(program, "name", program.__name__)}
         r0 = 1
         resumed_from = None
         if resume and ckpt_dir:
-            step = self._latest_step(ckpt_dir, program)
+            step = self._latest_step(ckpt_dir, metrics["program"])
             if step is not None:
                 ray.get([a.restore.remote(program, params, ckpt_dir, step) for a in self.actors])
                 r0 = step + 1
@@ -651,15 +782,44 @@ class GraphEngine:
         prod = ray.get([a.produce.remote(r0) for a in self.actors])
         r = r0 - 1
         last_ckpt = None
+        schedule = {int(k): v for k, v in (mutation_schedule or {}).items()}
+        staged: list | None = None  # routed muts, applied at round r
+        mutated = False  # once true, checkpoints stop: the mutated
+        # topology lives only in-actor, so a restored run could not
+        # rebuild fragments matching the saved state (use mutate_graph
+        # for durable topology changes)
         for r in range(r0, max_rounds + 1):
             incoming, sent = _route(prod)
-            do_ckpt = bool(ckpt_dir and checkpoint_every and r % checkpoint_every == 0)
+            do_ckpt = bool(ckpt_dir and checkpoint_every and r % checkpoint_every == 0
+                           and staged is None and not mutated)
             res = ray.get(
-                [a.step.remote(r, incoming[h], ckpt_dir if do_ckpt else None)
+                [a.step.remote(r, incoming[h], ckpt_dir if do_ckpt else None,
+                               staged[h] if staged is not None else None)
                  for h, a in enumerate(self.actors)]
             )
             _free_bundles(prod)  # round-r bundles: consumed by the barrier above
+            mut_applied = staged is not None
+            mutated = mutated or mut_applied
+            staged = None
+            if mut_applied:
+                # topology changed: rebuild the fleet's mirror wiring,
+                # then produce round r+1 fresh on the new layout
+                self._register_mirrors()
+                if self._vdata_cols:
+                    self._sync_vdata()
+                prod2 = ray.get([a.produce.remote(r + 1) for a in self.actors])
+                for x, y in zip(res, prod2):
+                    x["ref"], x["dests"], x["sent"] = y["ref"], y["dests"], y["sent"]
+            # harvest program-queued ops + driver-injected schedule for
+            # this round; both apply at the r+1 barrier
+            packs = [x["muts"] for x in res if x.get("muts") is not None]
+            if r in schedule:
+                packs.append(schedule.pop(r))
+            if packs:
+                staged = self._route_mutations(packs, H)
             active = sum(x["active"] for x in res)
+            if staged is not None:
+                active = max(active, 1)  # keep the loop alive to apply
             step_ts = [x["step_s"] for x in res]
             metrics["round_log"].append({
                 "round": r, "active": int(active), "sent": int(sent),
@@ -670,12 +830,12 @@ class GraphEngine:
             })
             metrics["rounds"] = r
             if do_ckpt:
-                self._write_manifest(ckpt_dir, program, params, r, metrics, converged=active == 0)
+                self._write_manifest(ckpt_dir, metrics["program"], params, r, metrics, converged=active == 0)
                 last_ckpt = r
             if active == 0:
-                if ckpt_dir and checkpoint_every and last_ckpt != r:
+                if ckpt_dir and checkpoint_every and last_ckpt != r and not mutated:
                     ray.get([a.checkpoint.remote(ckpt_dir, r) for a in self.actors])
-                    self._write_manifest(ckpt_dir, program, params, r, metrics, converged=True)
+                    self._write_manifest(ckpt_dir, metrics["program"], params, r, metrics, converged=True)
                 _free_bundles(res)  # round r+1 exchange: never consumed
                 break
             prod = res  # each step returned the round r+1 exchange

@@ -101,54 +101,7 @@ class Fragment:
         if sorted_spool and len(src) > 1:
             mono = (src[1:] > src[:-1]) | ((src[1:] == src[:-1]) & (dst[1:] >= dst[:-1]))
             need_sort = not bool(mono.all())
-        if need_sort and len(src) > 1:
-            order = np.lexsort((dst, src))
-            src, dst = src[order], dst[order]
-            if w is not None:
-                w = w[order]
-        if w is None and len(src):
-            keep = np.empty(len(src), dtype=bool)
-            keep[0] = True
-            np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
-            src, dst = src[keep], dst[keep]
-
-        self.num_local_edges = len(src)
-        inner_mask = (dst >= self.lo) & (dst < self.hi)
-        self.outer_gids = np.unique(dst[~inner_mask])
-        self.ovnum = len(self.outer_gids)
-        self.tvnum = self.ivnum + self.ovnum
-
-        # int32 local indices when they fit: the per-round gathers over
-        # these arrays are memory-bandwidth bound — 4-byte indices halve
-        # the traffic (int64 fallback for >2B-row partitions)
-        idx_t = np.int32 if self.tvnum < 2**31 - 2 and len(dst) < 2**31 - 2 else np.int64
-        indices = np.empty(len(dst), dtype=idx_t)
-        indices[inner_mask] = dst[inner_mask] - self.lo
-        indices[~inner_mask] = self.ivnum + np.searchsorted(self.outer_gids, dst[~inner_mask])
-        self.indices = indices
-        self.edge_w = w
-
-        rowlens = np.bincount(src - self.lo, minlength=self.ivnum).astype(np.int64)
-        self.indptr = np.concatenate([[0], np.cumsum(rowlens)])
-        self.out_degree = rowlens  # post-dedup local out-degree (== global:
-        # all out-edges of an inner vertex are routed here, ev_fragment_loader.h)
-        self.src_of_edge = np.repeat(np.arange(self.ivnum, dtype=idx_t), rowlens)
-
-        # transpose structure for push-style per-destination reductions
-        self.tgt_order = np.argsort(indices, kind="stable").astype(idx_t)
-        sorted_tgts = indices[self.tgt_order]
-        self.tgt_unique, self.tgt_starts = np.unique(sorted_tgts, return_index=True)
-        # CSC-ordered source ids + weights: the dense push sweep then
-        # does ONE gather (vals[src_by_tgt]) instead of gather+permute —
-        # the superstep kernels are memory-bandwidth bound, so this is a
-        # direct wall-time cut on WCC/SSSP/BFS
-        self.src_by_tgt = self.src_of_edge[self.tgt_order]
-        self.w_by_tgt = w[self.tgt_order] if w is not None else None
-
-        # mirror slices per owner partition (contiguous in outer_gids)
-        self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
-        # incoming mirror requests: requester part -> inner lids to export
-        self.export_lids: dict[int, np.ndarray] = {}
+        self._finalize(src, dst, w, need_sort)
         self.loaded_from_snapshot = False
         # snapshot write is ASYNC: ~50-100MB of arrays per partition
         # would otherwise serialize into every FIRST load (5s+ across an
@@ -303,6 +256,127 @@ class Fragment:
                 # until synced, vdata_full has zeros in the outer segment
                 full = np.zeros(self.tvnum, dtype=np.float64)
             self.vdata[c] = dense
+            full[: self.ivnum] = dense
+            self.vdata_full[c] = full
+
+    # ---------------------------------------------------------- CSR build
+    def _finalize(self, src: np.ndarray, dst: np.ndarray, w, need_sort: bool):
+        """Build every derived array (CSR, transpose, mirror layout)
+        from gid-space edge arrays.  Shared by the spool load path and
+        in-place mutation rebuilds (``apply_edge_mutations``)."""
+        if need_sort and len(src) > 1:
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            if w is not None:
+                w = w[order]
+        if w is None and len(src):
+            keep = np.empty(len(src), dtype=bool)
+            keep[0] = True
+            np.logical_or(src[1:] != src[:-1], dst[1:] != dst[:-1], out=keep[1:])
+            src, dst = src[keep], dst[keep]
+
+        self.num_local_edges = len(src)
+        inner_mask = (dst >= self.lo) & (dst < self.hi)
+        self.outer_gids = np.unique(dst[~inner_mask])
+        self.ovnum = len(self.outer_gids)
+        self.tvnum = self.ivnum + self.ovnum
+
+        # int32 local indices when they fit: the per-round gathers over
+        # these arrays are memory-bandwidth bound — 4-byte indices halve
+        # the traffic (int64 fallback for >2B-row partitions)
+        idx_t = np.int32 if self.tvnum < 2**31 - 2 and len(dst) < 2**31 - 2 else np.int64
+        indices = np.empty(len(dst), dtype=idx_t)
+        indices[inner_mask] = dst[inner_mask] - self.lo
+        indices[~inner_mask] = self.ivnum + np.searchsorted(self.outer_gids, dst[~inner_mask])
+        self.indices = indices
+        self.edge_w = w
+
+        rowlens = np.bincount(src - self.lo, minlength=self.ivnum).astype(np.int64)
+        self.indptr = np.concatenate([[0], np.cumsum(rowlens)])
+        self.out_degree = rowlens  # post-dedup local out-degree (== global:
+        # all out-edges of an inner vertex are routed here, ev_fragment_loader.h)
+        self.src_of_edge = np.repeat(np.arange(self.ivnum, dtype=idx_t), rowlens)
+
+        # transpose structure for push-style per-destination reductions
+        self.tgt_order = np.argsort(indices, kind="stable").astype(idx_t)
+        sorted_tgts = indices[self.tgt_order]
+        self.tgt_unique, self.tgt_starts = np.unique(sorted_tgts, return_index=True)
+        # CSC-ordered source ids + weights: the dense push sweep then
+        # does ONE gather (vals[src_by_tgt]) instead of gather+permute —
+        # the superstep kernels are memory-bandwidth bound, so this is a
+        # direct wall-time cut on WCC/SSSP/BFS
+        self.src_by_tgt = self.src_of_edge[self.tgt_order]
+        self.w_by_tgt = w[self.tgt_order] if w is not None else None
+
+        # mirror slices per owner partition (contiguous in outer_gids)
+        self.mirror_bounds = np.searchsorted(self.outer_gids, self.starts)
+        # incoming mirror requests: requester part -> inner lids to export
+        self.export_lids: dict[int, np.ndarray] = {}
+
+    def edge_list(self):
+        """Current edges back in gid space: (src, dst, w|None).  The
+        inverse of ``_finalize`` — used by in-place mutation rebuilds."""
+        idx = np.asarray(self.indices, np.int64)
+        src = self.lo + np.asarray(self.src_of_edge, np.int64)
+        dst = np.where(idx < self.ivnum, self.lo + idx, 0)
+        m = idx >= self.ivnum
+        if m.any():
+            dst[m] = np.asarray(self.outer_gids, np.int64)[idx[m] - self.ivnum]
+        w = np.array(self.edge_w, np.float64) if self.edge_w is not None else None
+        return src, dst, w
+
+    def apply_edge_mutations(self, op: np.ndarray, src: np.ndarray,
+                             dst: np.ndarray, w: np.ndarray) -> None:
+        """Apply a batch of edge ops to this fragment IN MEMORY and
+        rebuild the derived arrays — the per-superstep mutation analog
+        of grape/fragment/basic_fragment_mutator.h applied by
+        Worker::processMutation (grape/worker/worker.h:176-187).
+
+        ``op``: int8 codes (0=add/upsert, 1=delete); src/dst in gid
+        space, already routed so every src is inner here.  Last-op-wins
+        per (src, dst) key, matching mutate.py's spool-level semantics
+        (multi-edge weighted keys: a delete drops every copy, an upsert
+        replaces them with one row).  The rebuild is in-memory only —
+        snapshots/spool are untouched, so a NEW engine on the same
+        work_dir sees the pre-mutation graph (durable mutation is
+        mutate_graph's job).
+        """
+        V = int(self.starts[-1])
+        if V > 3_000_000_000:
+            raise NotImplementedError("int64 (src*V+dst) keying needs review beyond 3e9 vertices")
+        cs, cd, cw = self.edge_list()
+        key = src.astype(np.int64) * V + dst.astype(np.int64)
+        seq = np.arange(len(key), dtype=np.int64)
+        order = np.lexsort((seq, key))
+        k_s, s_s, d_s, w_s, op_s = key[order], src[order], dst[order], w[order], op[order]
+        last = np.concatenate([k_s[1:] != k_s[:-1], [True]]) if len(k_s) else np.zeros(0, bool)
+        key_f, s_f, d_f, w_f = k_s[last], s_s[last], d_s[last], w_s[last]
+        keep = op_s[last] == 0
+        cur_key = cs * V + cd
+        pos = np.searchsorted(key_f, cur_key)
+        if len(key_f):
+            pos = np.minimum(pos, len(key_f) - 1)
+            touched = key_f[pos] == cur_key
+        else:
+            touched = np.zeros(len(cur_key), bool)
+        ns = np.concatenate([cs[~touched], s_f[keep]])
+        nd = np.concatenate([cd[~touched], d_f[keep]])
+        nw = (np.concatenate([cw[~touched], w_f[keep]])
+              if cw is not None else None)
+        t = getattr(self, "_snap_thread", None)
+        if t is not None and t.is_alive():
+            t.join()  # writer reads _snap_path; let the PRE-mutation
+            # snapshot finish (it matches the spool, so it stays valid)
+        self._snap_path = None  # mutated CSR must never shadow the spool
+        self._finalize(ns, nd, nw, need_sort=True)
+        self.loaded_from_snapshot = False
+        # vdata_full buffers are tvnum-sized: re-seat the inner segment;
+        # the engine re-syncs the outer (mirror) segment after the
+        # fleet-wide mirror re-registration
+        for c, dense in self.vdata.items():
+            full = (np.full(self.tvnum, "", dtype=object)
+                    if dense.dtype == object
+                    else np.zeros(self.tvnum, dtype=dense.dtype))
             full[: self.ivnum] = dense
             self.vdata_full[c] = full
 

@@ -39,6 +39,38 @@ class VertexProgram:
     def __init__(self, frag: Fragment, **params):
         self.frag = frag
         self.params = params
+        self._mut_ops: list[tuple] = []
+
+    # per-superstep mutation (grape/app/mutation_context.h add_edge /
+    # remove_edge + worker.h:176-187 processMutation) ----------------
+    def queue_add_edge(self, src_gid: int, dst_gid: int, w: float = 0.0):
+        """Queue an edge add/upsert (gid space) during ``update``; the
+        driver routes it to the owner and applies it at the NEXT round's
+        barrier, after that round's exchange is consumed."""
+        self._mut_ops.append((0, int(src_gid), int(dst_gid), float(w)))
+
+    def queue_del_edge(self, src_gid: int, dst_gid: int):
+        self._mut_ops.append((1, int(src_gid), int(dst_gid), 0.0))
+
+    def take_mutations(self):
+        """Driver hook: drain queued ops as packed arrays (or None)."""
+        if not self._mut_ops:
+            return None
+        ops = self._mut_ops
+        self._mut_ops = []
+        a = np.asarray(ops, dtype=np.float64)
+        return {"op": a[:, 0].astype(np.int8), "src": a[:, 1].astype(np.int64),
+                "dst": a[:, 2].astype(np.int64), "w": a[:, 3]}
+
+    def on_mutation(self, old_outer_gids: np.ndarray) -> int:
+        """Called after the hosting fragment's CSR was rebuilt by a
+        mutation batch.  Remap any tvnum-sized state from the old outer
+        layout (``old_outer_gids``) to ``self.frag.outer_gids`` and
+        return an extra active count (>0 re-arms a converged program).
+        Programs that keep no outer state can return 0."""
+        raise NotImplementedError(
+            f"program {self.name!r} does not support per-superstep "
+            "mutation (no on_mutation state remap)")
 
     # lifecycle ------------------------------------------------------
     def init(self) -> dict:
@@ -244,6 +276,31 @@ class MinPropagation(VertexProgram):
             self._local_fixpoint(frontier)
         leftover = 0 if self._resume_frontier is None else len(self._resume_frontier)
         return changed + int(self.pending.sum()) + leftover
+
+    def on_mutation(self, old_outer_gids: np.ndarray) -> int:
+        """Remap min-state onto the rebuilt fragment: inner values are
+        lid-stable (the vertex universe is fixed); surviving mirrors
+        carry their value over, new mirrors start at inf.  Re-arms a
+        full local fixpoint so added edges propagate — for the monotone
+        min programs (WCC/BFS/SSSP) continuing after an edge ADD reaches
+        the same fixpoint as a fresh run on the mutated graph (deletes
+        rebuild topology but never retract already-propagated minima;
+        same caveat as the reference's app-defined mutation semantics)."""
+        f = self.frag
+        old_vals = self.vals
+        new_vals = np.full(f.tvnum, self.inf, dtype=self.dtype)
+        new_vals[: f.ivnum] = old_vals[: f.ivnum]
+        old_outer_gids = np.asarray(old_outer_gids, np.int64)
+        if len(old_outer_gids) and f.ovnum:
+            pos = np.searchsorted(f.outer_gids, old_outer_gids)
+            pos_c = np.minimum(pos, f.ovnum - 1)
+            alive = np.asarray(f.outer_gids)[pos_c] == old_outer_gids
+            new_vals[f.ivnum + pos_c[alive]] = old_vals[f.ivnum:][alive]
+        self.vals = new_vals
+        self.pending = np.zeros(f.ovnum, dtype=bool)
+        self._dirty = True
+        self._resume_frontier = None
+        return 1
 
     def state_dict(self):
         rf = self._resume_frontier

@@ -1,7 +1,7 @@
 """Text analysis over a documents table — vectorized `map_batches`
 stages with exact DuckDB-SQL-equivalent semantics (the driver's oracle
 cross-checks them; every regex below is RE2/PCRE-compatible and
-documented next to its SQL twin in pipelines/queries.py).
+documented next to its SQL twin in __ray_entry__.py oracle_sql()).
 
 All kernels use pyarrow.compute (zero-copy Arrow) — no Python loop over
 rows.

@@ -62,7 +62,8 @@ def run_web_analytics(pages_ds, work_dir: str, num_partitions: int = 4,
     eng.shutdown()
 
     meta_u = build_graph(edges, os.path.join(work_dir, "undirected"),
-                         num_partitions, directed=False, symmetrize=True)
+                         num_partitions, directed=False, symmetrize=True,
+                         reuse_vertices_from=meta_d)
     eng = GraphEngine(meta_u)
     wcc_ds, wcc_metrics = eng.run("wcc")
     wcc_tbl = wcc_ds.to_pandas()
