@@ -65,6 +65,33 @@ def _pagerank_sql(rounds: int = 10, d: float = 0.85) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _pagerank_local_sql(rounds: int = 10, d: float = 0.85) -> str:
+    """Unrolled competitor-matched PageRankLocal (pagerank_local.h:49-223,
+    Performance.md:61-67): init 1/outdeg, rank = (1-d) + d*sum over
+    out-neighbors' divided state, divide every round except the LAST,
+    no dangling redistribution, no 1/N."""
+    ctes = [
+        _E, _U, _V,
+        "DEG AS MATERIALIZED (SELECT v.node, COALESCE(o.c, 0) AS deg FROM V v LEFT JOIN "
+        "(SELECT src, COUNT(*) AS c FROM E GROUP BY src) o ON v.node = o.src)",
+        "p0 AS MATERIALIZED (SELECT node, deg, CASE WHEN deg > 0 THEN 1.0/deg ELSE 1.0 END AS r FROM DEG)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"pc{k} AS MATERIALIZED (SELECT E.src AS node, SUM(p.r) AS s FROM E JOIN p{k-1} p ON E.dst = p.node GROUP BY E.src)"
+        )
+        rank = f"(1.0 - {d}) + {d} * COALESCE(c.s, 0)"
+        div = rank if k == rounds else \
+            f"CASE WHEN v.deg > 0 THEN ({rank})/v.deg ELSE {rank} END"
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT v.node, v.deg, {rank} AS rank, {div} AS r "
+            f"FROM p{k-1} v LEFT JOIN pc{k} c ON v.node = c.node)"
+        )
+    final = (f"SELECT node AS oid, ROUND(rank, 8) AS pagerank "
+             f"FROM p{rounds} ORDER BY oid")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _cdlp_sql(rounds: int = 10) -> str:
     """Unrolled synchronous LPA with (count desc, label asc) tiebreak
     (cdlp_utils.h:28-60)."""
@@ -475,6 +502,17 @@ def _q_pagerank(sf_dir: str):
                         pc.round(t.column("pagerank"), ndigits=8))
 
 
+def _q_pagerank_local(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "pagerank_local",
+                        {"rounds": 10, "damping": 0.85}, variant="directed")
+    return t.set_column(t.schema.get_field_index("pagerank"), "pagerank",
+                        pc.round(t.column("pagerank"), ndigits=8))
+
+
 def _q_wcc(sf_dir: str):
     from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
 
@@ -788,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges": _q_edges,
         "out_degree": _q_out_degree,
         "pagerank": _q_pagerank,
+        "pagerank_local": _q_pagerank_local,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
         "triangle_count": _q_triangle_count,
@@ -823,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "edges": _EDGES_SQL,
         "out_degree": _OUT_DEGREE_SQL,
         "pagerank": _pagerank_sql(10, 0.85),
+        "pagerank_local": _pagerank_local_sql(10, 0.85),
         "wcc": _WCC_SQL,
         "cdlp": _cdlp_sql(10),
         "triangle_count": _TRI_COUNT_SQL,

@@ -84,71 +84,81 @@ def run_bench() -> dict:
               file=sys.stderr, flush=True)
     _bench_t0 = time.perf_counter()
 
-    # ---- corpus (cached, untimed; also warms the page cache)
-    pdir = _bench_pages_dir(N_BENCH_PAGES)
-    if not os.path.exists(os.path.join(pdir, "_DONE")):
-        fixtures.generate_pages(pdir, N_BENCH_PAGES, N_SITES, richness=RICHNESS)
-        open(os.path.join(pdir, "_DONE"), "w").write("ok")
-    rd.read_parquet(pdir).count()  # warm read
+    # engine-only mode: just the superstep-throughput phase (the
+    # BASELINE.json metric is "PageRank + WCC supersteps/sec and
+    # edges/sec"), used by --scaling for the supplementary strong pair
+    # at low core counts where the full web pipeline would dominate
+    # wall-clock without informing the criterion
+    engine_only = bool(os.environ.get("LGR_BENCH_ENGINE_ONLY"))
+    eng = None
+    edges = 0
+    if not engine_only:
+        # ---- corpus (cached, untimed; also warms the page cache)
+        pdir = _bench_pages_dir(N_BENCH_PAGES)
+        if not os.path.exists(os.path.join(pdir, "_DONE")):
+            fixtures.generate_pages(pdir, N_BENCH_PAGES, N_SITES, richness=RICHNESS)
+            open(os.path.join(pdir, "_DONE"), "w").write("ok")
+        rd.read_parquet(pdir).count()  # warm read
 
-    # ---- headline: extract ONCE, build both graph variants from it
-    import shutil
+        # ---- headline: extract ONCE, build both graph variants from it
+        import shutil
 
-    gdir = f"/tmp/lgr_bench_graph_{N_BENCH_PAGES}_{num_cpus}"
-    shutil.rmtree(gdir, ignore_errors=True)
-    t0 = time.perf_counter()
-    pages = rd.read_parquet(pdir, columns=["url", "html"])
-    edges_ds = extract_edges(pages)  # stateless task parallelism
-    timings["extract"] = time.perf_counter() - t0
-    _mark("extract")
+        gdir = f"/tmp/lgr_bench_graph_{N_BENCH_PAGES}_{num_cpus}"
+        shutil.rmtree(gdir, ignore_errors=True)
+        t0 = time.perf_counter()
+        pages = rd.read_parquet(pdir, columns=["url", "html"])
+        edges_ds = extract_edges(pages)  # stateless task parallelism
+        timings["extract"] = time.perf_counter() - t0
+        _mark("extract")
 
-    t0 = time.perf_counter()
-    meta = build_graph(edges_ds, os.path.join(gdir, "directed"), P)
-    timings["build_directed"] = time.perf_counter() - t0
-    _mark("build_directed")
+        t0 = time.perf_counter()
+        meta = build_graph(edges_ds, os.path.join(gdir, "directed"), P)
+        timings["build_directed"] = time.perf_counter() - t0
+        _mark("build_directed")
 
-    t0 = time.perf_counter()
-    eng = GraphEngine(meta, num_cpus_per_actor=cpus_per_actor, num_hosts=H)
-    timings["fragment_load"] = time.perf_counter() - t0
-    _mark("fragment_load")
-    eng.wait_prewarm()  # untimed: one-time heap fault cost (see memtune)
-    t0 = time.perf_counter()
-    _, pr_m = eng.run("pagerank", {"rounds": 10})
-    timings["pagerank"] = time.perf_counter() - t0
-    _mark("pagerank")
+        t0 = time.perf_counter()
+        eng = GraphEngine(meta, num_cpus_per_actor=cpus_per_actor, num_hosts=H)
+        timings["fragment_load"] = time.perf_counter() - t0
+        _mark("fragment_load")
+        eng.wait_prewarm()  # untimed: one-time heap fault cost (see memtune)
+        t0 = time.perf_counter()
+        _, pr_m = eng.run("pagerank", {"rounds": 10})
+        timings["pagerank"] = time.perf_counter() - t0
+        _mark("pagerank")
 
-    t0 = time.perf_counter()
-    meta_u = build_graph(edges_ds, os.path.join(gdir, "undirected"), P,
-                         directed=False, symmetrize=True, reuse_vertices_from=meta)
-    timings["build_undirected"] = time.perf_counter() - t0
-    _mark("build_undirected")
-    t0 = time.perf_counter()
-    eng = GraphEngine(meta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng,
-                      num_hosts=H)  # warm pool
-    timings["fragment_load_u"] = time.perf_counter() - t0
-    _mark("fragment_load_u")
-    eng.wait_prewarm()  # untimed (as above)
-    t0 = time.perf_counter()
-    _, wcc_m = eng.run("wcc")
-    timings["wcc"] = time.perf_counter() - t0
-    _mark("wcc")
-    t0 = time.perf_counter()
-    _, _ = eng.run("cdlp", {"rounds": 10})
-    timings["cdlp"] = time.perf_counter() - t0
-    _mark("cdlp")
-    t0 = time.perf_counter()
-    _, _ = eng.run("lcc")
-    timings["lcc"] = time.perf_counter() - t0
-    _mark("lcc")
-    eng.shutdown()
+        t0 = time.perf_counter()
+        meta_u = build_graph(edges_ds, os.path.join(gdir, "undirected"), P,
+                             directed=False, symmetrize=True, reuse_vertices_from=meta)
+        timings["build_undirected"] = time.perf_counter() - t0
+        _mark("build_undirected")
+        t0 = time.perf_counter()
+        eng = GraphEngine(meta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng,
+                          num_hosts=H)  # warm pool
+        timings["fragment_load_u"] = time.perf_counter() - t0
+        _mark("fragment_load_u")
+        eng.wait_prewarm()  # untimed (as above)
+        t0 = time.perf_counter()
+        _, wcc_m = eng.run("wcc")
+        timings["wcc"] = time.perf_counter() - t0
+        _mark("wcc")
+        t0 = time.perf_counter()
+        _, _ = eng.run("cdlp", {"rounds": 10})
+        timings["cdlp"] = time.perf_counter() - t0
+        _mark("cdlp")
+        t0 = time.perf_counter()
+        _, _ = eng.run("lcc")
+        timings["lcc"] = time.perf_counter() - t0
+        _mark("lcc")
+        eng.shutdown()
+        eng = None
 
-    edges = meta.num_edges
-    timings["pagerank_edges_per_s"] = round(edges * 10 / timings["pagerank"], 1)
-    timings["pagerank_supersteps_per_s"] = round(pr_m["supersteps_per_s"], 3)
-    timings["wcc_rounds"] = wcc_m["rounds"]
-    # release the web-phase object-store footprint before the engine
-    # graph loads its CSRs — holding both thrashes the store into spill
-    del edges_ds, pages
+        edges = meta.num_edges
+        timings["pagerank_edges_per_s"] = round(edges * 10 / timings["pagerank"], 1)
+        timings["pagerank_supersteps_per_s"] = round(pr_m["supersteps_per_s"], 3)
+        timings["wcc_rounds"] = wcc_m["rounds"]
+        # release the web-phase object-store footprint before the engine
+        # graph loads its CSRs — holding both thrashes the store into spill
+        del edges_ds, pages
 
     # ---- superstep-throughput measurement: engine-scale gid graph
     # (cached; the scaling criterion is supersteps/sec + edges/sec on a
@@ -165,34 +175,68 @@ def run_bench() -> dict:
     emeta_u = GraphMeta.load(os.path.join(egdir, "undirected"))
     eng = GraphEngine(emeta, num_cpus_per_actor=cpus_per_actor, num_hosts=H)
     eng.wait_prewarm()  # untimed (as above)
-    # one short untimed run: first-touch page faults + plasma arena
-    # growth otherwise land inside the timed window as straggler rounds;
-    # then best-of-2 timed runs (one-off straggler rounds otherwise put
-    # 2x run-to-run noise on the scaling ratio)
+
+    def _steady_best(fn, max_reps: int = 4, tol: float = 0.15):
+        """Repeat fn until the latest rep stops improving on the best
+        by more than tol (min 2 reps); return (best_s, all_times).
+
+        A fixed rep count under-warms in cold-page regimes: on
+        free-page-reporting hosts a partially-bailed heap prewarm left
+        EVERY rep fault-bound (round-3's 8-core leg measured 337s vs
+        the 10.6s steady state).  Warm-until-stable measures the
+        steady state the criterion is about, and the full rep list is
+        recorded for audit."""
+        times = []
+        while len(times) < max_reps:
+            t0 = time.perf_counter()
+            fn()
+            times.append(round(time.perf_counter() - t0, 3))
+            if len(times) >= 2 and times[-1] > min(times[:-1]) * (1 - tol):
+                break
+        return min(times), times
+
+    # one short untimed run first: plasma arena growth + first-touch
     eng.run("pagerank", {"rounds": 2})
     _mark("engine_warmup")
-    pr_times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _, epr = eng.run("pagerank", {"rounds": 10})
-        pr_times.append(time.perf_counter() - t0)
-    timings["engine_pagerank"] = min(pr_times)
+    epr_box = {}
+
+    def _pr():
+        _, epr_box["m"] = eng.run("pagerank", {"rounds": 10})
+
+    timings["engine_pagerank"], pr_times = _steady_best(_pr)
+    timings["engine_pagerank_reps"] = pr_times
     _mark("engine_pagerank")
     timings["engine_pr_edges_per_s"] = round(emeta.num_edges * 10 / timings["engine_pagerank"], 1)
-    timings["engine_pr_supersteps_per_s"] = round(epr["supersteps_per_s"], 3)
+    timings["engine_pr_supersteps_per_s"] = round(epr_box["m"]["supersteps_per_s"], 3)
     eng = GraphEngine(emeta_u, num_cpus_per_actor=cpus_per_actor, reuse_engine=eng,
                       num_hosts=H)
     eng.wait_prewarm()  # untimed (as above)
     eng.run("wcc", max_rounds=2)  # untimed warmup (first-touch faults)
-    wcc_times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _, ewc = eng.run("wcc")
-        wcc_times.append(time.perf_counter() - t0)
-    timings["engine_wcc"] = min(wcc_times)
+    ewc_box = {}
+
+    def _wcc():
+        _, ewc_box["m"] = eng.run("wcc")
+
+    timings["engine_wcc"], wcc_times = _steady_best(_wcc)
+    timings["engine_wcc_reps"] = wcc_times
     _mark("engine_wcc")
-    timings["engine_wcc_rounds"] = ewc["rounds"]
+    timings["engine_wcc_rounds"] = ewc_box["m"]["rounds"]
     eng.shutdown()
+
+    if engine_only:
+        alg = timings["engine_pagerank"] + timings["engine_wcc"]
+        out = {
+            "metric": "engine_alg_seconds",
+            "value": round(alg, 3),
+            "unit": "sec",
+            "queries": {k: (round(v, 3) if isinstance(v, float) else v)
+                        for k, v in timings.items()},
+            "num_cpus": num_cpus,
+            "graph_edges": emeta.num_edges,
+            "graph_vertices": emeta.num_vertices,
+        }
+        ray.shutdown()
+        return out
 
     # ---- secondary: derived-TPCH graph at $GRAFT_SF_DIR
     t0 = time.perf_counter()
@@ -250,8 +294,12 @@ def run_bench() -> dict:
 
 def run_scaling():
     def one(ncpu: int, env_extra: dict | None = None) -> dict:
+        # long prewarm deadline: at low core counts a cold heap faults
+        # slowly; a bailed prewarm poisons every timed rep (round-3
+        # 8-core collapse).  The prewarm is untimed, so patience is free.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   LGR_ENGINE_V="8000000", LGR_ENGINE_E="300000000")
+                   LGR_ENGINE_V="8000000", LGR_ENGINE_E="300000000",
+                   LGR_PREWARM_DEADLINE_S="600")
         env.update(env_extra or {})
         cmd = [sys.executable, os.path.abspath(__file__)]
         # bind the whole process tree to ncpu physical cores:
@@ -276,6 +324,13 @@ def run_scaling():
     # load both levels) is the standard cluster-growth metric that the
     # shared-DRAM box CAN measure fairly: eff_weak = t_lo_small / t_hi.
     r_lo_weak = one(lo, {"LGR_ENGINE_V": "2000000", "LGR_ENGINE_E": "75000000"})
+    # supplementary strong pair at 2->8 cores (engine phase only): the
+    # same 4x cluster-size ratio measured at an operating point where
+    # the shared memory controller is NOT saturated — on this box the
+    # hi=32 strong leg under-reads because 4x the cores share 1x the
+    # DRAM bandwidth, which a real 4x-node cluster would quadruple.
+    r2 = one(2, {"LGR_BENCH_ENGINE_ONLY": "1"})
+    r8e = one(8, {"LGR_BENCH_ENGINE_ONLY": "1"})
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     alg_lo = r_lo["queries"]["engine_pagerank"] + r_lo["queries"]["engine_wcc"]
     alg_hi = r_hi["queries"]["engine_pagerank"] + r_hi["queries"]["engine_wcc"]
@@ -283,6 +338,7 @@ def run_scaling():
                    + r_lo_weak["queries"]["engine_wcc"])
     eff_alg = (alg_lo / alg_hi) / (hi / lo)
     eff_weak = alg_lo_weak / alg_hi
+    eff_2_8 = (r2["value"] / r8e["value"]) / 4.0
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff_alg, 3),
@@ -291,20 +347,27 @@ def run_scaling():
                  "superstep phase (same 300M-edge input at 8 and 32 "
                  "taskset-bound cores — the criterion's 'same job, two "
                  "parallelism levels'). weak_efficiency = equal-edges-per-core "
-                 "leg, the cluster-growth supplement. Both under-read a real "
-                 "cluster: taskset splits cores, not DRAM bandwidth, so the "
-                 "32-core leg is bandwidth-starved per core — see BASELINE.md."),
+                 "leg, the cluster-growth supplement. strong_2_8 = the same "
+                 "4x strong pair at 2 vs 8 cores, where the single shared "
+                 "memory controller is not yet saturated. The 8->32 strong "
+                 "leg under-reads a real cluster: taskset splits cores, not "
+                 "DRAM bandwidth (a 4x-node cluster quadruples both) — see "
+                 "BASELINE.md for the per-round kernel evidence."),
         "weak_efficiency": round(eff_weak, 3),
         "strong_efficiency": round(eff_alg, 3),
+        "strong_2_8": round(eff_2_8, 3),
         "e2e_efficiency": round(eff, 3),
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
         f"alg_sec_{lo}": round(alg_lo, 3),
         f"alg_sec_{hi}": round(alg_hi, 3),
         f"alg_sec_{lo}_weak": round(alg_lo_weak, 3),
+        "alg_sec_2": r2["value"],
+        "alg_sec_8_engineonly": r8e["value"],
         f"queries_{lo}": r_lo["queries"],
         f"queries_{hi}": r_hi["queries"],
         f"queries_{lo}_weak": r_lo_weak["queries"],
+        "queries_2": r2["queries"],
         "num_cpus": [lo, hi],
     }))
 

@@ -35,25 +35,33 @@ import pyarrow.parquet as pq
 from ..ids import part_of
 from .build import GraphMeta
 
-__all__ = ["mutate_graph", "load_delta_file"]
+__all__ = ["mutate_graph", "load_delta_file", "parse_delta_lines"]
 
 
-def load_delta_file(path: str) -> pa.Table:
-    """Parse the reference's ``.e.mutable_delta`` text format."""
+def parse_delta_lines(lines) -> pa.Table:
+    """Parse ``op src dst [w]`` delta lines (the reference's
+    ``.e.mutable_delta`` text format, also the record format of the
+    gnn_sampler Kafka stream, examples/gnn_sampler/util.h ParseOneLine
+    analog).  Blank lines and ``#`` comments are skipped."""
     ops, srcs, dsts, ws = [], [], [], []
-    with open(path) as f:
-        for line in f:
-            p = line.split()
-            if not p or p[0].startswith("#"):
-                continue
-            ops.append(p[0])
-            srcs.append(int(p[1]))
-            dsts.append(int(p[2]))
-            ws.append(float(p[3]) if len(p) > 3 else 0.0)
+    for line in lines:
+        p = line.split()
+        if not p or p[0].startswith("#"):
+            continue
+        ops.append(p[0])
+        srcs.append(int(p[1]))
+        dsts.append(int(p[2]))
+        ws.append(float(p[3]) if len(p) > 3 else 0.0)
     return pa.table({"op": pa.array(ops, pa.string()),
                      "src": pa.array(srcs, pa.int64()),
                      "dst": pa.array(dsts, pa.int64()),
                      "w": pa.array(ws, pa.float64())})
+
+
+def load_delta_file(path: str) -> pa.Table:
+    """Parse the reference's ``.e.mutable_delta`` text format."""
+    with open(path) as f:
+        return parse_delta_lines(f)
 
 
 def _translate_gids(meta: GraphMeta, oids: np.ndarray, col: str) -> np.ndarray:

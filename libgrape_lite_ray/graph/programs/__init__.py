@@ -7,6 +7,7 @@ mirroring grape/worker/worker.h:87-133.
 
 from .base import VertexProgram
 from .pagerank import PageRank
+from .pagerank_local import PageRankLocal
 from .wcc import WCC
 from .cdlp import CDLP
 from .bfs import BFS
@@ -16,10 +17,10 @@ from .sample import MultiHopSampler, SampleNeighbors
 from .vdata import VDataMatch, VDataSum
 from .degree import Degree
 
-PROGRAMS = {p.name: p for p in (PageRank, WCC, CDLP, BFS, SSSP, LCC, Degree,
-                                SampleNeighbors, MultiHopSampler, VDataSum,
-                                VDataMatch)}
+PROGRAMS = {p.name: p for p in (PageRank, PageRankLocal, WCC, CDLP, BFS, SSSP,
+                                LCC, Degree, SampleNeighbors, MultiHopSampler,
+                                VDataSum, VDataMatch)}
 
-__all__ = ["VertexProgram", "PageRank", "WCC", "CDLP", "BFS", "SSSP", "LCC",
-           "Degree", "SampleNeighbors", "MultiHopSampler", "VDataSum",
-           "VDataMatch", "PROGRAMS"]
+__all__ = ["VertexProgram", "PageRank", "PageRankLocal", "WCC", "CDLP", "BFS",
+           "SSSP", "LCC", "Degree", "SampleNeighbors", "MultiHopSampler",
+           "VDataSum", "VDataMatch", "PROGRAMS"]

@@ -43,19 +43,61 @@ def file_source(paths):
         yield load_delta_file(p)
 
 
-def kafka_source(topic: str, brokers: str, poll_batch: int = 10_000):
-    """Kafka consumer source (run_sampler.cc:88-104 / kafka_consumer.h
-    analog).  The client library is not available in this container;
-    the shape is: poll up to ``poll_batch`` records, parse each value
-    as an ``op src dst [w]`` line, yield one Table per poll."""
+def kafka_source(topic: str, brokers: str | None = None,
+                 poll_batch: int = 10_000, consumer=None,
+                 poll_timeout_s: float = 1.0, stop_on_idle: bool = False):
+    """Kafka consumer source (run_sampler.cc:88-104 / kafka_consumer.h:
+    31-104 analog): poll up to ``poll_batch`` records per micro-batch,
+    parse each record value as an ``op src dst [w]`` delta line, yield
+    one pyarrow Table per batch.
+
+    ``consumer`` may be any duck-typed object with the confluent-kafka
+    Consumer surface (``subscribe([topic])``, ``poll(timeout) -> msg``
+    with ``msg.error()``/``msg.value()``, ``close()``) — injected for
+    tests and for alternative clients.  When None, a real
+    confluent-kafka Consumer is constructed (import-gated: the client
+    library is not shipped in every environment).
+
+    ``stop_on_idle=True`` ends the stream at the first empty poll window
+    (batch replays); the default keeps polling forever like the
+    reference's sampler daemon loop.
+    """
+    from .graph.mutate import parse_delta_lines
+
+    if consumer is None:  # pragma: no cover - needs a live broker
+        try:
+            from confluent_kafka import Consumer
+        except ImportError as e:
+            raise NotImplementedError(
+                "Kafka client not available in this environment; pass a "
+                "duck-typed `consumer`, or use file_source/table_source"
+            ) from e
+        consumer = Consumer({
+            "bootstrap.servers": brokers,
+            "group.id": "lgr-sampler",
+            "auto.offset.reset": "earliest",
+            "enable.auto.commit": True,
+        })
+    consumer.subscribe([topic])
     try:
-        from confluent_kafka import Consumer  # noqa: F401
-    except ImportError as e:  # pragma: no cover - documented stub
-        raise NotImplementedError(
-            "Kafka client not available in this environment; use "
-            "file_source/table_source, or install confluent-kafka and "
-            "implement the poll loop described in this docstring"
-        ) from e
+        while True:
+            lines: list[str] = []
+            while len(lines) < poll_batch:
+                msg = consumer.poll(poll_timeout_s)
+                if msg is None:
+                    break  # poll window drained
+                err = msg.error() if hasattr(msg, "error") else None
+                if err:
+                    continue  # transient consumer error: skip record
+                v = msg.value()
+                lines.append(v.decode() if isinstance(v, (bytes, bytearray)) else v)
+            if not lines:
+                if stop_on_idle:
+                    return
+                continue
+            yield parse_delta_lines(lines)
+    finally:
+        consumer.close()
 
 
 class MicroBatchLoop:
