@@ -807,6 +807,34 @@ def _q_image_decode(sf_dir: str):
     )
 
 
+def _q_audio_features(sf_dir: str):
+    """Multimodal audio plumbing: deterministic fake PCM keyed by
+    doc_id, decoded + windowed RMS/ZCR features by actor-pool stages
+    (rows-only check; the fake format is decoded for real, real codecs
+    are import-gated on soundfile)."""
+    import pyarrow as pa
+
+    from libgrape_lite_ray.ops.multimodal import DecodeAudio, fake_audio_bytes
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys = b.column("doc_id").to_pylist()
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "audio": pa.array([fake_audio_bytes(k) for k in keys], pa.binary()),
+        })
+
+    from libgrape_lite_ray.ops.multimodal import ResampleAudio
+
+    return (
+        _docs(sf_dir)
+        .map_batches(attach, batch_format="pyarrow", batch_size=256)
+        .map_batches(ResampleAudio, fn_constructor_kwargs={"target_sr": 8_000},
+                     batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(DecodeAudio, batch_format="pyarrow",
+                     batch_size=256, concurrency=2)
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -853,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "image_decode": _q_image_decode,
+        "audio_decode": _q_audio_features,
         "sample_neighbors": _q_sample_neighbors,
     }
 
@@ -887,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup": _EMB_NEARDUP_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
-        # ann_topk_ivf (approximate by design), image_decode (stub
-        # decode), sample_neighbors (seeded RNG) -> rows-only checks
+        # ann_topk_ivf (approximate by design), image_decode /
+        # audio_decode (stub decode), sample_neighbors (seeded RNG)
+        # -> rows-only checks
     }

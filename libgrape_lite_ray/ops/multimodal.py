@@ -19,8 +19,10 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["fake_image_bytes", "fake_video_bytes", "DecodeImage",
-           "ExtractImageFeatures", "ResizeImage", "SampleVideoFrames"]
+__all__ = ["fake_image_bytes", "fake_video_bytes", "fake_audio_bytes",
+           "DecodeImage", "ExtractImageFeatures", "ResizeImage",
+           "SampleVideoFrames", "DecodeAudio", "ExtractAudioFeatures",
+           "ResampleAudio"]
 
 
 def fake_image_bytes(seed: int, w: int = 32, h: int = 32) -> bytes:
@@ -148,6 +150,131 @@ class SampleVideoFrames:
             "key": pa.array(keys_out),
             "frame_idx": pa.array(idx_out, pa.int32()),
             "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def fake_audio_bytes(seed: int, n_samples: int = 1600,
+                     sample_rate: int = 16_000) -> bytes:
+    """Deterministic fake 'audio': header + sample-rate + int16 PCM."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(2**14), 2**14, size=n_samples, dtype=np.int16)
+    return (b"FAKEAUD1" + int(sample_rate).to_bytes(4, "little")
+            + pcm.tobytes())
+
+
+def _decode_audio(raw: bytes, sf_mod):
+    """-> (pcm float64 in [-1,1], sample_rate).  Fake format decoded
+    for real; real containers (wav/flac/ogg) go through soundfile when
+    installed (import-gated — absent in this container)."""
+    if raw[:8] == b"FAKEAUD1":
+        sr = int.from_bytes(raw[8:12], "little")
+        pcm = np.frombuffer(raw[12:], dtype=np.int16).astype(np.float64) / 2**15
+        return pcm, sr
+    if sf_mod is not None:
+        import io
+
+        pcm, sr = sf_mod.read(io.BytesIO(raw), dtype="float64")
+        if pcm.ndim > 1:
+            pcm = pcm.mean(axis=1)  # downmix to mono
+        return pcm, int(sr)
+    raise NotImplementedError(
+        "real audio decode requires soundfile (not in this container)")
+
+
+class DecodeAudio:
+    """Actor-pool stage: (key, audio: binary) -> (key, sample_rate,
+    duration_s, rms).  Same import-gate pattern as DecodeImage: the
+    fake PCM format is decoded for real, real codecs need soundfile."""
+
+    def __init__(self):
+        try:
+            import soundfile  # noqa: F401
+
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        srs, durs, rms = [], [], []
+        for raw in batch.column("audio").to_pylist():
+            pcm, sr = _decode_audio(raw, self._sf)
+            srs.append(sr)
+            durs.append(len(pcm) / sr if sr else 0.0)
+            rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)
+        return pa.table({
+            "key": pa.array(keys),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+        })
+
+
+class ExtractAudioFeatures:
+    """Actor-pool stage: (key, audio) -> (key, feature list<double>) —
+    ``n_windows`` frames of [RMS energy, zero-crossing rate]: a real
+    vectorized DSP kernel over the decoded PCM (the model-forward slot;
+    a learned encoder would load in __init__, once per actor)."""
+
+    def __init__(self, n_windows: int = 8):
+        self.n = int(n_windows)
+        try:
+            import soundfile
+
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def _features(self, pcm: np.ndarray) -> list:
+        n = self.n
+        if len(pcm) < n:
+            pcm = np.pad(pcm, (0, n - len(pcm)))
+        win = len(pcm) // n
+        f = pcm[: win * n].reshape(n, win)
+        energy = np.sqrt((f**2).mean(axis=1))
+        zcr = (np.abs(np.diff(np.signbit(f), axis=1)).sum(axis=1)
+               / max(win - 1, 1))
+        return np.concatenate([energy, zcr]).tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(_decode_audio(raw, self._sf)[0])
+                 for raw in batch.column("audio").to_pylist()]
+        return pa.table({
+            "key": batch.column("key"),
+            "feature": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+class ResampleAudio:
+    """Actor-pool stage: (key, audio) -> (key, audio) at ``target_sr``
+    via vectorized linear interpolation over the decoded PCM; output
+    re-encoded in the fake PCM format (real encoders are soundfile's
+    job when installed)."""
+
+    def __init__(self, target_sr: int = 8_000):
+        self.sr = int(target_sr)
+        try:
+            import soundfile
+
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def _resample(self, raw: bytes) -> bytes:
+        pcm, sr = _decode_audio(raw, self._sf)
+        if sr != self.sr and len(pcm):
+            n_out = max(1, int(round(len(pcm) * self.sr / sr)))
+            x_out = np.linspace(0.0, len(pcm) - 1, n_out)
+            pcm = np.interp(x_out, np.arange(len(pcm)), pcm)
+        out = np.clip(pcm * 2**15, -(2**15), 2**15 - 1).astype(np.int16)
+        return (b"FAKEAUD1" + self.sr.to_bytes(4, "little") + out.tobytes())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("key"),
+            "audio": pa.array([self._resample(r)
+                               for r in batch.column("audio").to_pylist()],
+                              pa.binary()),
         })
 
 
