@@ -215,6 +215,19 @@ class Fragment:
         if self.edge_w is not None:
             np.asarray(self.edge_w).sum()
             np.asarray(self.w_by_tgt).sum()
+        # LGR_CSR_HEAP=1: materialize the mapped arrays into the
+        # (resident, see memtune) heap.  mmap pages live in the page
+        # cache and can be evicted by host-side memory reclaim at any
+        # time mid-run — observed as 2-3x jitter on WCC reps whose 25GB
+        # CSR re-faulted from disk; heap pages in use are immune (no
+        # swap).  Costs one copy + the RSS; default stays mmap (shared,
+        # instant reloads).
+        if os.environ.get("LGR_CSR_HEAP"):
+            for k in _SNAP_ARRAYS:
+                setattr(self, k, np.array(getattr(self, k)))
+            if self.edge_w is not None:
+                self.edge_w = np.array(self.edge_w)
+                self.w_by_tgt = np.array(self.w_by_tgt)
         return True
 
     def _load_vdata(self, work_dir: str, vdata_cols):
