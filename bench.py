@@ -299,13 +299,15 @@ def run_scaling():
         # long prewarm deadline: at low core counts a cold heap faults
         # slowly; a bailed prewarm poisons every timed rep (round-3
         # 8-core collapse).  The prewarm is untimed, so patience is free.
-        # LGR_CSR_HEAP: measurement runs hold the CSR in the resident
-        # heap — mmap'd snapshot pages are page-cache-backed and
-        # host-side reclaim evicts them mid-run (2-3x jitter on WCC
-        # reps); production reloads keep the default mmap path.
+        # NOTE: LGR_CSR_HEAP is deliberately NOT set.  A/B at 32 hosts
+        # (2026-08-18): heap-copied CSRs make the directed PageRank
+        # apply phase 2.1x SLOWER (8.2s vs 3.96s steady state, tight
+        # reps both ways) while buying nothing on a quiet box — the
+        # mmap'd snapshot path stays the measured configuration.  The
+        # knob remains in fragment.py for busy-box diagnostics only.
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    LGR_ENGINE_V="8000000", LGR_ENGINE_E="300000000",
-                   LGR_PREWARM_DEADLINE_S="600", LGR_CSR_HEAP="1")
+                   LGR_PREWARM_DEADLINE_S="600")
         env.update(env_extra or {})
         cmd = [sys.executable, os.path.abspath(__file__)]
         # bind the whole process tree to ncpu physical cores:
@@ -383,9 +385,8 @@ def run_scaling():
                  "ceiling on this box is the SAME bandwidth ratio "
                  "(bw32/(4*bw8)), since the 8-core leg borrows ~2x the "
                  "per-core DRAM bandwidth. All alg legs are engine-only "
-                 "fresh processes with warm caches, heap-resident CSRs "
-                 "(LGR_CSR_HEAP) and warm-until-stable reps; see "
-                 "BASELINE.md."),
+                 "fresh processes with warm caches, mmap'd CSR snapshots "
+                 "and warm-until-stable reps; see BASELINE.md."),
         "strong_2_8": round(eff_2_8, 3),
         "strong_8_32": round(eff_alg, 3),
         "strong_pr_8_32": round(eff_pr_8_32, 3),
