@@ -403,6 +403,57 @@ jac AS (
 SELECT a, b, ROUND(j, 8) AS jaccard FROM jac WHERE j >= 0.5 ORDER BY a, b
 """
 
+# The full training-data cleaning pipeline composed end-to-end:
+# quality filter -> MinHash pair graph over the SURVIVORS -> transitive
+# closure -> keep one doc per near-dup cluster -> token counts.
+# The pair CTEs are _MINHASH_SQL retargeted at the filtered corpus
+# (CTE `fdocs`); thresholds use the same ROUND(...,8) the Ray kernel
+# applies so boundary docs can't flip sides.
+_CORPUS_CLEAN_SQL = f"""
+WITH RECURSIVE fdocs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+              / GREATEST(length(text), 1), 8) >= 0.815
+    AND len(regexp_extract_all(text, '\\S+')) >= 20
+),
+P AS MATERIALIZED (
+  SELECT a, b FROM ({_MINHASH_SQL.replace("FROM documents", "FROM fdocs")}) q
+),
+UU AS (SELECT a AS u, b AS v FROM P UNION ALL SELECT b, a FROM P),
+NN AS (SELECT DISTINCT u AS node FROM UU),
+r(node, lbl) AS (
+  SELECT node, node FROM NN
+  UNION
+  SELECT UU.v, r.lbl FROM r JOIN UU ON r.node = UU.u WHERE r.lbl < UU.v
+),
+comp AS (SELECT node, MIN(lbl) AS c FROM r GROUP BY node)
+SELECT f.doc_id,
+       CAST(len(regexp_extract_all(f.text, '\\S+')) AS BIGINT) AS n_tokens
+FROM fdocs f LEFT JOIN comp ON f.doc_id = comp.node
+WHERE COALESCE(comp.c, f.doc_id) = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
+# Dedup clustering: the MinHash pair graph's transitive closure, the
+# same min-label recursion as _WCC_SQL, left-joined to the corpus
+# (docs with no verified near-dup are their own cluster).
+_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE P AS MATERIALIZED (
+  SELECT a, b FROM ({_MINHASH_SQL}) q
+),
+UU AS (SELECT a AS u, b AS v FROM P UNION ALL SELECT b, a FROM P),
+NN AS (SELECT DISTINCT u AS node FROM UU),
+r(node, lbl) AS (
+  SELECT node, node FROM NN
+  UNION
+  SELECT UU.v, r.lbl FROM r JOIN UU ON r.node = UU.u WHERE r.lbl < UU.v
+),
+comp AS (SELECT node, MIN(lbl) AS c FROM r GROUP BY node)
+SELECT d.doc_id, CAST(COALESCE(comp.c, d.doc_id) AS BIGINT) AS cluster
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.node ORDER BY d.doc_id
+"""
+
 _EMB_NEARDUP_SQL = """
 WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT x.vec_id AS a, y.vec_id AS b,
@@ -739,6 +790,54 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), mode="md5")
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Keep-one-per-cluster dedup: MinHash pair graph -> engine WCC ->
+    per-doc canonical cluster id (md5 signature mode for oracle
+    parity; transitive closure checked against the recursive SQL)."""
+    from libgrape_lite_ray.pipelines.dedup_cluster import (cluster_cache_dir,
+                                                           dedup_clusters)
+
+    return dedup_clusters(_docs(sf_dir), cluster_cache_dir(sf_dir),
+                          mode="md5")
+
+
+def _q_corpus_clean(sf_dir: str):
+    """The canonical training-data cleaning pipeline, composed from
+    the library's own stages: quality filter (alpha_ratio >= 0.815,
+    n_tokens >= 20) -> near-dup clustering over the survivors (MinHash
+    md5 pair graph -> engine WCC) -> keep one doc per cluster ->
+    per-survivor token counts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.ops.text import quality_stats
+    from libgrape_lite_ray.pipelines.dedup_cluster import (cluster_cache_dir,
+                                                           dedup_clusters,
+                                                           dedup_keep)
+
+    def qfilter(t: pa.Table) -> pa.Table:
+        s = quality_stats(t)
+        keep = pc.and_(
+            pc.greater_equal(s.column("alpha_ratio"), pa.scalar(0.815)),
+            pc.greater_equal(s.column("n_tokens"), pa.scalar(20)),
+        )
+        return t.filter(keep)
+
+    docs = (_docs(sf_dir)
+            .map_batches(qfilter, batch_format="pyarrow", batch_size=None)
+            .materialize())  # feeds the pair op (sig + verify) and the keep join
+    clusters = dedup_clusters(docs, cluster_cache_dir(sf_dir, "corpus-clean"),
+                              mode="md5")
+    kept = dedup_keep(docs, clusters)
+
+    def toks(t: pa.Table) -> pa.Table:
+        s = quality_stats(t)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": s.column("n_tokens")})
+
+    return kept.map_batches(toks, batch_format="pyarrow", batch_size=None)
+
+
 def _q_ngram_pairs(sf_dir: str):
     from libgrape_lite_ray.ops.dedup import ngram_jaccard_pairs
 
@@ -876,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann,
         "ann_topk_ivf": _q_ann_ivf,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "corpus_clean": _q_corpus_clean,
         "ngram_pairs": _q_ngram_pairs,
         "emb_neardup": _q_emb_neardup,
         "simhash": _q_simhash,
@@ -912,6 +1013,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSION_SQL,
         "ann_topk": _ANN_SQL,
         "minhash_pairs": _MINHASH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTER_SQL,
+        "corpus_clean": _CORPUS_CLEAN_SQL,
         "ngram_pairs": _NGRAM_SQL,
         "emb_neardup": _EMB_NEARDUP_SQL,
         "simhash": _SIMHASH_SQL,
