@@ -249,6 +249,24 @@ def run_bench() -> dict:
     timings["tpch_pagerank"] = time.perf_counter() - t0
     _mark("tpch_pagerank")
 
+    # ---- near-dup clustering pipeline over the sf documents (fast
+    # signature mode): LSH pairs -> engine WCC over the pair graph ->
+    # keep-one-per-cluster (pipelines/dedup_cluster.py)
+    import shutil as _shutil
+
+    from libgrape_lite_ray.pipelines.dedup_cluster import (dedup_clusters,
+                                                           dedup_keep)
+
+    t0 = time.perf_counter()
+    docs_ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    dcdir = "/tmp/lgr_bench_dedupc"
+    _shutil.rmtree(dcdir, ignore_errors=True)  # honest cold build each run
+    cl_ds = dedup_clusters(docs_ds, dcdir, mode="fast")
+    timings["dedup_cluster_kept"] = dedup_keep(docs_ds, cl_ds).count()
+    timings["dedup_cluster"] = time.perf_counter() - t0
+    _mark("dedup_cluster")
+
     # ---- dedup signature-kernel micro-bench: vectorized FNV default
     # vs md5 oracle-parity mode (round-2 verdict #4's 10x criterion)
     import pyarrow as pa
@@ -260,14 +278,20 @@ def run_bench() -> dict:
                           columns=["doc_id", "text"])
     reps = max(1, 20_000 // max(doc_t.num_rows, 1))
     big = pa.concat_tables([doc_t] * reps)
-    t0 = time.perf_counter()
-    minhash_signature(big, mode="fast")
-    simhash64(big, mode="fast")
-    fast_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    minhash_signature(doc_t, mode="md5")
-    simhash64(doc_t, mode="md5")
-    md5_s = (time.perf_counter() - t0) * reps  # per-doc normalized
+    # best-of-2: the first call in a post-engine driver process pays
+    # cold-heap allocation (4x observed on the numpy-vectorized fast
+    # mode); the steady state is the kernel's actual throughput
+    fast_s = md5_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        minhash_signature(big, mode="fast")
+        simhash64(big, mode="fast")
+        fast_s = min(fast_s, time.perf_counter() - t0)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        minhash_signature(doc_t, mode="md5")
+        simhash64(doc_t, mode="md5")
+        md5_s = min(md5_s, (time.perf_counter() - t0) * reps)  # per-doc normalized
     timings["sig_fast_docs_per_s"] = round(big.num_rows / fast_s, 1)
     timings["sig_md5_docs_per_s"] = round(big.num_rows / md5_s, 1)
     timings["sig_fast_speedup"] = round(md5_s / fast_s, 1)
