@@ -580,25 +580,28 @@ def _build_symmetrized_from_donor(donor: GraphMeta, work_dir: str,
 
 def _translate_broadcast(edges_ds, sorted_oids: pa.Array, num_partitions: int):
     """oid->gid via the broadcast sorted dictionary (ray.put once,
-    `pc.index_in` per batch: position in the sorted dict IS the gid)."""
+    `pc.index_in` per batch: position in the sorted dict IS the gid).
+
+    TASK pool, not an actor pool: ray.get of the plasma-resident Arrow
+    dictionary is zero-copy per task, and tasks reach full width
+    immediately — the actor pool's 1->N ramp-up serialized the first
+    blocks behind one worker (measured 22s -> 8s on the 16M-edge
+    headline translate at 32 cpus)."""
     import ray
 
     dict_ref = ray.put(sorted_oids)
 
-    class Translate:
-        def __init__(self):
-            self.oids = ray.get(dict_ref)
+    def translate(t: pa.Table) -> pa.Table:
+        oids = ray.get(dict_ref)  # zero-copy plasma read
+        sg = pc.index_in(t.column("src"), value_set=oids).cast(pa.int64())
+        dg = pc.index_in(t.column("dst"), value_set=oids).cast(pa.int64())
+        d = {"src_gid": sg, "dst_gid": dg}
+        if "w" in t.column_names:
+            d["w"] = t.column("w")
+        return pa.table(d)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            sg = pc.index_in(t.column("src"), value_set=self.oids).cast(pa.int64())
-            dg = pc.index_in(t.column("dst"), value_set=self.oids).cast(pa.int64())
-            d = {"src_gid": sg, "dst_gid": dg}
-            if "w" in t.column_names:
-                d["w"] = t.column("w")
-            return pa.table(d)
-
-    return edges_ds.map_batches(Translate, batch_format="pyarrow",
-                                batch_size=None, concurrency=(1, num_partitions))
+    return edges_ds.map_batches(translate, batch_format="pyarrow",
+                                batch_size=None)
 
 
 def _spool_and_finish(edges_gid, work_dir, num_vertices, num_partitions, starts,
