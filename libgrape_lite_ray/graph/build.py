@@ -532,49 +532,54 @@ def _copy_vertices(donor: GraphMeta, work_dir: str):
 def _build_symmetrized_from_donor(donor: GraphMeta, work_dir: str,
                                   weight_col, degree_aware: bool,
                                   fingerprint: str) -> GraphMeta:
-    """Undirected variant straight from the donor's gid spool: the url
-    table is never touched again — edges_gid = spool ∪ reverse(spool).
-    Partition boundaries are re-balanced from a sampled src histogram
-    (undirected degree != donor's out-degree on skewed graphs)."""
-    import ray.data as rd
+    """Undirected variant with ZERO new edge movement: the symmetrized
+    spool for partition p is (donor out-edges of p) ∪ (donor in-edges
+    of p as out-edges) — exactly the donor spool's ``part=p`` files
+    plus ``reverse_graph``'s, so both are HARD-LINKED instead of routed
+    again.  ``reverse_graph`` is itself a cached one-route-pass (E
+    rows); when the donor was built with ``load_strategy="both"`` or
+    any in-edge query already ran, symmetrize touches no edge data at
+    all.  The old path re-routed and re-wrote 2E rows.
 
+    Partition boundaries reuse the donor's: the donor's degree-aware
+    ``starts`` already weight BOTH endpoints of every edge
+    (``_endpoint_weight_table``), i.e. total degree — the same balance
+    criterion the undirected graph needs, so a resample would
+    reproduce them modulo sampling noise."""
     _copy_vertices(donor, work_dir)
     V, P = donor.num_vertices, donor.num_partitions
-    cols = ["src_gid", "dst_gid"] + (["w"] if donor.has_weights else [])
-    de = rd.read_parquet(donor.spool_dir, columns=cols).materialize()
+    rmeta = reverse_graph(donor)
 
-    if degree_aware:
-        n_rows = max(de.count(), 1)
-        frac = min(1.0, 2_000_000 / n_rows)
-        samp = de.random_sample(frac, seed=42).to_pandas() if frac < 1.0 else de.to_pandas()
-        both = np.concatenate([samp["src_gid"].to_numpy(), samp["dst_gid"].to_numpy()])
-        w = np.bincount(both, minlength=V).astype(np.float64) / max(frac, 1e-9) + 1.0
-        cum = np.cumsum(w)
-        targets = cum[-1] * np.arange(1, P) / P
-        inner = np.searchsorted(cum, targets).astype(np.int64)
-        starts = np.concatenate([[0], np.minimum(inner + 1, V), [V]])
-        starts = np.maximum.accumulate(starts).astype(np.int64)
-    else:
-        starts = donor.starts
+    spool = os.path.join(work_dir, "edges")
+    for tag, src_meta in (("d", donor), ("r", rmeta)):
+        for part in os.listdir(src_meta.spool_dir):
+            sdir = os.path.join(src_meta.spool_dir, part)
+            if not (part.startswith("part=") and os.path.isdir(sdir)):
+                continue
+            ddir = os.path.join(spool, part)
+            os.makedirs(ddir, exist_ok=True)
+            for f in os.listdir(sdir):
+                dst = os.path.join(ddir, f"{tag}_{f}")
+                try:
+                    os.link(os.path.join(sdir, f), dst)
+                except OSError:  # cross-device spool dirs
+                    import shutil
 
-    def revg(t: pa.Table) -> pa.Table:
-        d = {"src_gid": t.column("dst_gid"), "dst_gid": t.column("src_gid")}
-        if donor.has_weights:
-            d["w"] = t.column("w")
-        return pa.table(d)
+                    shutil.copy2(os.path.join(sdir, f), dst)
 
-    edges_gid = de.union(de.map_batches(revg, batch_format="pyarrow", batch_size=None))
-    # route-only spool: the donor rows are already in gid space, so the
-    # symmetrized variant needs no global sort — fragments lexsort their
-    # own slice once (cached by the CSR snapshot).  Cuts the biggest
-    # all-to-all of the headline pipeline (2E-row sort) entirely.
-    meta = _spool_and_finish(
-        edges_gid, work_dir, V, P, starts, False, donor.oid_type,
-        donor.has_weights, fingerprint, sort_spool=False,
+    meta = GraphMeta(
+        work_dir=work_dir, num_vertices=V,
+        num_edges=donor.num_edges + rmeta.num_edges, num_partitions=P,
+        starts=np.asarray(donor.starts, dtype=np.int64), directed=False,
+        oid_type=donor.oid_type, has_weights=donor.has_weights,
+        fingerprint=fingerprint,
     )
+    # mixed file naming (donor may be sort-spooled, rev is route-only):
+    # fragments lexsort their slice at first load, snapshot caches it
+    meta.extra["spool_sorted"] = False
     if donor.extra.get("identity_oids"):
         meta.extra["identity_oids"] = True
-        meta.save()
+    meta.save()
     return meta
 
 
