@@ -77,14 +77,14 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
     Q = _normalize(np.stack([q_vecs[q] for q in qids]))
     q_ref = ray.put(Q)
 
-    class PartialTopK:
-        def __init__(self):
-            self.Q = ray.get(q_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
+    # task pool: the broadcast query matrix is a zero-copy plasma read
+    # per task, and tasks reach full width immediately (no actor-pool
+    # 1->N ramp — same fix as build._translate_broadcast)
+    def partial_topk(b: pa.Table) -> pa.Table:
+            Q = ray.get(q_ref)
             ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
             M = _normalize(_batch_matrix(b, col))
-            sims = self.Q @ M.T  # (nq, nb)
+            sims = Q @ M.T  # (nq, nb)
             nq, nb = sims.shape
             # mask self-matches BEFORE the partial top-k: a query row can
             # appear MORE than once in the input (lsh/ivf candidate ∪
@@ -113,8 +113,8 @@ def brute_topk(emb_ds, query_ids: list[int], k: int = 10,
                              "neighbor_id": pa.array(out_n, pa.int64()),
                              "sim": pa.array(out_s, pa.float64())})
 
-    cand = emb_ds.map_batches(PartialTopK, batch_format="pyarrow", batch_size=4096,
-                              concurrency=(1, 8)).to_pandas()
+    cand = emb_ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
     # a candidate may appear twice (duplicate input rows, or lsh_topk's
     # bucket∪query union) — keep its best sim so it can't occupy two of
@@ -152,22 +152,19 @@ def cosine_neardup_exact(emb_ds, threshold: float = 0.45,
     M_all = _normalize(np.concatenate(mats, axis=0))
     ref = ray.put((ids_all, M_all))
 
-    class PairEmit:
-        def __init__(self):
-            self.ids, self.M = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
+    def pair_emit(b: pa.Table) -> pa.Table:
+            c_ids, c_M = ray.get(ref)  # zero-copy plasma read per task
             bid = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
             Mb = _normalize(_batch_matrix(b, col))
-            sims = Mb @ self.M.T
-            hit = (sims >= threshold) & (bid[:, None] < self.ids[None, :])
+            sims = Mb @ c_M.T
+            hit = (sims >= threshold) & (bid[:, None] < c_ids[None, :])
             i, j = np.nonzero(hit)
             return pa.table({"a": pa.array(bid[i], pa.int64()),
-                             "b": pa.array(self.ids[j], pa.int64()),
+                             "b": pa.array(c_ids[j], pa.int64()),
                              "cos": pa.array(np.round(sims[i, j], 8), pa.float64())})
 
-    out = emb_ds.map_batches(PairEmit, batch_format="pyarrow", batch_size=2048,
-                             concurrency=(1, 8))
+    out = emb_ds.map_batches(pair_emit, batch_format="pyarrow",
+                             batch_size=2048)
     batches = list(out.iter_batches(batch_format="pyarrow", batch_size=10**6))
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "cos": pa.array([], pa.float64())})
@@ -207,23 +204,20 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, n_planes: int = 12,
     allowed_arr = np.asarray(sorted(allowed), dtype=np.int64)
     codes_ref = ray.put(allowed_arr)
 
-    class BucketFilter:
-        def __init__(self):
-            self.planes = ray.get(p_ref)
-            self.allowed = ray.get(codes_ref)
-            self.pow2 = (1 << np.arange(self.planes.shape[1])).astype(np.int64)
+    def bucket_filter(b: pa.Table) -> pa.Table:
+        planes_l = ray.get(p_ref)
+        allowed_l = ray.get(codes_ref)
+        pow2_l = (1 << np.arange(planes_l.shape[1])).astype(np.int64)
+        M = _batch_matrix(b, col)
+        keep = np.zeros(len(b), dtype=bool)
+        for t in range(planes_l.shape[0]):
+            codes = ((M @ planes_l[t].T) > 0).astype(np.int64) @ pow2_l
+            tagged = (np.int64(t) << np.int64(48)) | codes
+            keep |= np.isin(tagged, allowed_l, assume_unique=False)
+        return b.filter(pa.array(keep))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            M = _batch_matrix(b, col)
-            keep = np.zeros(len(b), dtype=bool)
-            for t in range(self.planes.shape[0]):
-                codes = ((M @ self.planes[t].T) > 0).astype(np.int64) @ self.pow2
-                tagged = (np.int64(t) << np.int64(48)) | codes
-                keep |= np.isin(tagged, self.allowed, assume_unique=False)
-            return b.filter(pa.array(keep))
-
-    cand_ds = emb_ds.map_batches(BucketFilter, batch_format="pyarrow", batch_size=4096,
-                                 concurrency=(1, 8))
+    cand_ds = emb_ds.map_batches(bucket_filter, batch_format="pyarrow",
+                                 batch_size=4096)
     return brute_topk(cand_ds.union(
         emb_ds.map_batches(
             lambda b: b.filter(pa.array(np.isin(b.column(key).to_numpy(zero_copy_only=False), list(q_set)))),
@@ -287,18 +281,15 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, n_lists: int = 32,
     allowed = np.unique(probe)
     a_ref = ray.put(allowed)
 
-    class ListFilter:
-        def __init__(self):
-            self.cent = ray.get(c_ref)
-            self.allowed = ray.get(a_ref)
+    def list_filter(b: pa.Table) -> pa.Table:
+        cent_l = ray.get(c_ref)
+        allowed_l = ray.get(a_ref)
+        M = _normalize(_batch_matrix(b, col))
+        assign = np.argmax(M @ cent_l.T, axis=1)
+        return b.filter(pa.array(np.isin(assign, allowed_l)))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            M = _normalize(_batch_matrix(b, col))
-            assign = np.argmax(M @ self.cent.T, axis=1)
-            return b.filter(pa.array(np.isin(assign, self.allowed)))
-
-    cand_ds = emb_ds.map_batches(ListFilter, batch_format="pyarrow", batch_size=4096,
-                                 concurrency=(1, 8))
+    cand_ds = emb_ds.map_batches(list_filter, batch_format="pyarrow",
+                                 batch_size=4096)
     return brute_topk(cand_ds.union(
         emb_ds.map_batches(
             lambda b: b.filter(pa.array(np.isin(b.column(key).to_numpy(zero_copy_only=False), list(q_set)))),

@@ -334,22 +334,22 @@ def _candidate_payload(src_ds, pairs_m, key: str, emit_fn,
         ids = np.sort(ids_pdf["id"].to_numpy().astype(np.int64))
         ids_ref = ray.put(ids)
 
-        class FilterEmit:
-            def __init__(self):
-                self.ids = ray.get(ids_ref)
+        # task pool (not actors): the plasma ray.get is zero-copy per
+        # task and tasks reach full width immediately — the actor
+        # pool's 1->N ramp serialized the first blocks (same fix as
+        # build._translate_broadcast)
+        def filter_emit(b: pa.Table) -> pa.Table:
+            ids_l = ray.get(ids_ref)
+            kid = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids_l):
+                pos = np.minimum(np.searchsorted(ids_l, kid), len(ids_l) - 1)
+                mask = ids_l[pos] == kid
+            else:
+                mask = np.zeros(len(kid), dtype=bool)
+            return emit_fn(b.filter(pa.array(mask)))
 
-            def __call__(self, b: pa.Table) -> pa.Table:
-                kid = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-                if len(self.ids):
-                    pos = np.minimum(np.searchsorted(self.ids, kid),
-                                     len(self.ids) - 1)
-                    mask = self.ids[pos] == kid
-                else:
-                    mask = np.zeros(len(kid), dtype=bool)
-                return emit_fn(b.filter(pa.array(mask)))
-
-        return src_ds.map_batches(FilterEmit, batch_format="pyarrow",
-                                  batch_size=4096, concurrency=(1, 8)).materialize()
+        return src_ds.map_batches(filter_emit, batch_format="pyarrow",
+                                  batch_size=4096).materialize()
 
     ids_ds = (pairs_m.map_batches(_ids_tbl, batch_format="pyarrow", batch_size=None)
               .groupby("id").count().select_columns(["id"]))
@@ -480,16 +480,13 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95,
     p_ref = ray.put(planes)
     pow2 = (1 << np.arange(n_planes)).astype(np.int64)
 
-    class BucketCodes:
-        def __init__(self):
-            self.planes = ray.get(p_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
+    def bucket_codes(b: pa.Table) -> pa.Table:
+            planes_l = ray.get(p_ref)  # zero-copy plasma read per task
             M = _normalize(_batch_matrix(b, col))
             ids = b.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            n_t = self.planes.shape[0]
+            n_t = planes_l.shape[0]
             codes = np.stack(
-                [((M @ self.planes[t].T) > 0).astype(np.int64) @ pow2
+                [((M @ planes_l[t].T) > 0).astype(np.int64) @ pow2
                  for t in range(n_t)], axis=1)  # (n, n_tables)
             return pa.table({
                 key: pa.array(np.repeat(ids, n_t), pa.int64()),
@@ -497,8 +494,8 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95,
                 "code": pa.array(codes.reshape(-1), pa.int64()),
             })
 
-    coded = emb_ds.map_batches(BucketCodes, batch_format="pyarrow",
-                               batch_size=2048, concurrency=(1, 8))
+    coded = emb_ds.map_batches(bucket_codes, batch_format="pyarrow",
+                               batch_size=2048)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[key].to_numpy())[:max_bucket]

@@ -92,22 +92,19 @@ def dedup_clusters(docs_ds, work_dir: str, *, text_col: str = "text",
             np.argsort(vt.column("gid").to_numpy())]
         dict_ref = ray.put(oids_np)
 
-        class ToLabels:
-            def __init__(self):
-                self.oids = ray.get(dict_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                gid = t.column("gid").to_numpy()
-                comp = t.column("comp").to_numpy()
-                return pa.table({
-                    key: pa.array(self.oids[gid], pa.int64()),
-                    "cluster": pa.array(self.oids[comp], pa.int64()),
-                })
+        def to_labels(t: pa.Table) -> pa.Table:
+            oids = ray.get(dict_ref)  # zero-copy plasma read per task
+            gid = t.column("gid").to_numpy()
+            comp = t.column("comp").to_numpy()
+            return pa.table({
+                key: pa.array(oids[gid], pa.int64()),
+                "cluster": pa.array(oids[comp], pa.int64()),
+            })
 
         labels = (res.to_dataset()
-                  .map_batches(ToLabels, batch_format="pyarrow",
-                               batch_size=None, concurrency=(1, P))
-                  .materialize())  # consume before the actors go away
+                  .map_batches(to_labels, batch_format="pyarrow",
+                               batch_size=None)
+                  .materialize())  # consume before the engine goes away
     finally:
         eng.shutdown()
 
