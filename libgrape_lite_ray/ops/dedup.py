@@ -328,10 +328,17 @@ def _candidate_payload(src_ds, pairs_m, key: str, emit_fn,
         return pa.table({"id": pa.array(both, pa.int64())})
 
     if 2 * n_pairs <= broadcast_ids:
-        ids_pdf = (pairs_m.map_batches(_ids_tbl, batch_format="pyarrow",
-                                       batch_size=None)
-                   .groupby("id").count().select_columns(["id"]).to_pandas())
-        ids = np.sort(ids_pdf["id"].to_numpy().astype(np.int64))
+        # per-block unique then one driver-side np.unique: the id list
+        # lands on the driver EITHER way (that's what broadcasting is),
+        # so the groupby("id") all-to-all the old code ran first was a
+        # pure extra shuffle
+        def _uniq(t: pa.Table) -> pa.Table:
+            return pa.table({"id": pa.array(
+                np.unique(_ids_tbl(t).column("id").to_numpy()), pa.int64())})
+
+        blocks = pairs_m.map_batches(_uniq, batch_format="pyarrow",
+                                     batch_size=None).take_all()
+        ids = np.unique(np.asarray([r["id"] for r in blocks], dtype=np.int64))
         ids_ref = ray.put(ids)
 
         # task pool (not actors): the plasma ray.get is zero-copy per
