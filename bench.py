@@ -115,6 +115,10 @@ def run_bench() -> dict:
         meta = build_graph(edges_ds, os.path.join(gdir, "directed"), P)
         timings["build_directed"] = time.perf_counter() - t0
         _mark("build_directed")
+        # the symmetrized variant hard-links donor+reverse spools and
+        # never reads the edge table again — release the materialized
+        # extract output so plasma isn't pinned through the CSR loads
+        del edges_ds
 
         t0 = time.perf_counter()
         eng = GraphEngine(meta, num_cpus_per_actor=cpus_per_actor, num_hosts=H)
@@ -127,7 +131,7 @@ def run_bench() -> dict:
         _mark("pagerank")
 
         t0 = time.perf_counter()
-        meta_u = build_graph(edges_ds, os.path.join(gdir, "undirected"), P,
+        meta_u = build_graph(None, os.path.join(gdir, "undirected"), P,
                              directed=False, symmetrize=True, reuse_vertices_from=meta)
         timings["build_undirected"] = time.perf_counter() - t0
         _mark("build_undirected")

@@ -56,12 +56,13 @@ def run_web_analytics(pages_ds, work_dir: str, num_partitions: int = 4,
     """pages -> {pagerank, wcc} result Datasets (gid space) + metas."""
     edges = extract_edges(pages_ds)
     meta_d = build_graph(edges, os.path.join(work_dir, "directed"), num_partitions)
+    del edges  # sym variant hard-links donor+reverse spools; free plasma
     eng = GraphEngine(meta_d)
     pr_ds, pr_metrics = eng.run("pagerank", {"rounds": pr_rounds})
     pr_tbl = pr_ds.to_pandas()
     eng.shutdown()
 
-    meta_u = build_graph(edges, os.path.join(work_dir, "undirected"),
+    meta_u = build_graph(None, os.path.join(work_dir, "undirected"),
                          num_partitions, directed=False, symmetrize=True,
                          reuse_vertices_from=meta_d)
     eng = GraphEngine(meta_u)
