@@ -162,7 +162,8 @@ def run_bench() -> dict:
         timings["wcc_rounds"] = wcc_m["rounds"]
         # release the web-phase object-store footprint before the engine
         # graph loads its CSRs — holding both thrashes the store into spill
-        del edges_ds, pages
+        # (edges_ds was already freed right after build_directed)
+        del pages
 
     # ---- superstep-throughput measurement: engine-scale gid graph
     # (cached; the scaling criterion is supersteps/sec + edges/sec on a
