@@ -33,7 +33,8 @@ __all__ = ["dedup_clusters", "dedup_keep"]
 def dedup_clusters(docs_ds, work_dir: str, *, text_col: str = "text",
                    key: str = "doc_id", mode: str = "fast",
                    threshold: float = 0.7, num_partitions: int | None = None,
-                   pairs_ds=None, **pair_kw):
+                   pairs_ds=None, broadcast_rows: int = 50_000_000,
+                   **pair_kw):
     """-> Dataset (key, cluster): one row per doc, ``cluster`` = min
     doc id of its near-dup component (itself when unpaired).
 
@@ -108,6 +109,44 @@ def dedup_clusters(docs_ds, work_dir: str, *, text_col: str = "text",
     finally:
         eng.shutdown()
 
+    # Re-attach to the corpus.  The label table covers ONLY the dup
+    # subset; when it fits the broadcast gate (same pattern/threshold
+    # as graph/build.py broadcast_threshold and ops/dedup.py
+    # _candidate_payload) one plasma-shared sorted array turns the
+    # corpus-sized left_outer hash join into a plain scan with a
+    # vectorized searchsorted lookup — no shuffle at all.  Above the
+    # gate (a dup subset that big means the corpus is ~all dups) the
+    # distributed hash join is the fallback.
+    if labels.count() <= broadcast_rows:
+        import numpy as np
+        import ray
+
+        empty = pa.table({key: pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+        # normalize per-block column order / drop 0-row stray-schema
+        # blocks (a union'd typed anchor can differ) before the concat
+        parts = [t.select([key, "cluster"])
+                 for t in ray.get(labels.to_arrow_refs()) if t.num_rows]
+        lt = pa.concat_tables(parts) if parts else empty
+        lk = lt.column(key).to_numpy()
+        order = np.argsort(lk)
+        lab_ref = ray.put((lk[order], lt.column("cluster").to_numpy()[order]))
+
+        def fill_bcast(t: pa.Table) -> pa.Table:
+            lk_s, cl_s = ray.get(lab_ref)  # zero-copy plasma read
+            ks = t.column(key).cast(pa.int64()).to_numpy()
+            cl = ks.copy()  # default: own cluster
+            if lk_s.size:
+                pos = np.searchsorted(lk_s, ks)
+                pos[pos == lk_s.size] = 0
+                hit = lk_s[pos] == ks
+                cl[hit] = cl_s[pos[hit]]
+            return pa.table({key: t.column(key),
+                             "cluster": pa.array(cl, pa.int64())})
+
+        return keys_ds.map_batches(fill_bcast, batch_format="pyarrow",
+                                   batch_size=None)
+
     out = keys_ds.join(labels, "left_outer",
                        num_partitions=_join_parts(), on=(key,))
 
@@ -119,23 +158,54 @@ def dedup_clusters(docs_ds, work_dir: str, *, text_col: str = "text",
     return out.map_batches(fill, batch_format="pyarrow", batch_size=None)
 
 
-def dedup_keep(docs_ds, clusters_ds, key: str = "doc_id"):
+def dedup_keep(docs_ds, clusters_ds, key: str = "doc_id",
+               broadcast_rows: int = 50_000_000):
     """Filter the corpus to its cluster representatives — one doc per
-    near-dup cluster (the doc whose id IS the cluster id).  A
-    distributed left-semi hash join; full rows (text and all) pass
-    through only for survivors."""
+    near-dup cluster (the doc whose id IS the cluster id).
+
+    Keyed on the DROP-set (docs whose cluster is some other doc),
+    which is bounded by the dup subset — tiny relative to the corpus —
+    rather than the representative set (≈ the whole corpus): under the
+    broadcast gate the corpus is filtered by one plasma-shared sorted
+    NOT-IN array (scan, no shuffle); above it a left_anti hash join
+    against the small side.  Full rows (text and all) pass through
+    only for survivors either way."""
     import pyarrow.compute as pc
 
     from ..ops.dedup import _join_parts
 
-    def reps(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t.column("cluster").cast(pa.int64()),
-                        t.column(key).cast(pa.int64()))
-        return t.filter(keep).select([key])
+    def drops(t: pa.Table) -> pa.Table:
+        drop = pc.invert(pc.equal(t.column("cluster").cast(pa.int64()),
+                                  t.column(key).cast(pa.int64())))
+        return t.filter(drop).select([key])
 
-    rep_ds = clusters_ds.map_batches(reps, batch_format="pyarrow",
-                                     batch_size=None)
-    return docs_ds.join(rep_ds, "left_semi",
+    drop_ds = clusters_ds.map_batches(drops, batch_format="pyarrow",
+                                      batch_size=None).materialize()
+    n_drop = drop_ds.count()
+    if n_drop == 0:
+        return docs_ds
+    if n_drop <= broadcast_rows:
+        import numpy as np
+        import ray
+
+        dparts = [t.select([key])
+                  for t in ray.get(drop_ds.to_arrow_refs()) if t.num_rows]
+        dt = pa.concat_tables(dparts)  # n_drop > 0 => non-empty
+        drop_ref = ray.put(np.sort(dt.column(key).to_numpy()))
+
+        def keep(t: pa.Table) -> pa.Table:
+            dk = ray.get(drop_ref)  # zero-copy plasma read
+            ks = t.column(key).cast(pa.int64()).to_numpy()
+            if not dk.size:
+                return t
+            pos = np.searchsorted(dk, ks)
+            pos[pos == dk.size] = 0
+            return t.filter(pa.array(dk[pos] != ks))
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow",
+                                   batch_size=None)
+
+    return docs_ds.join(drop_ds, "left_anti",
                         num_partitions=_join_parts(), on=(key,))
 
 
