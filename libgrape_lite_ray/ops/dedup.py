@@ -26,7 +26,13 @@ Scale notes: every stage pre-shrinks before its shuffle (hashes, not
 documents); candidate verification re-joins heavy payloads (shingle
 sets, vectors) DISTRIBUTED by Dataset joins — no driver-side dict, no
 candidates-fit-in-driver assumption; hot LSH buckets are capped
-(``max_bucket``) — the documented skew guard.
+(``max_bucket``) — the documented skew guard.  Bucket→pair expansion
+for ALL four pair ops goes through one shared kernel
+(``_bucket_pairs_ds``): a coarse-shard groupby (one ``map_groups``
+Python call per SHARD, not per bucket — at 10^12 docs per-bucket calls
+would mean billions of pandas constructions for mostly size-1 buckets)
+with whole-shard numpy run detection + per-run-length ``triu_indices``
+templates inside.
 
 Candidate-pair lists are Datasets END TO END (round-3 verdict fix #2):
 bucket pairs are deduped with a distributed ``groupby(["a","b"])``
@@ -41,7 +47,6 @@ cluster's CPU count, not a constant (round-3 verdict fix #3).
 from __future__ import annotations
 
 import hashlib
-import itertools
 import re
 
 import numpy as np
@@ -239,21 +244,11 @@ def minhash_lsh_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
     ``mode`` selects the signature kernel (see minhash_signature);
     verification is exact Jaccard either way, so mode affects only
     which candidates the bands surface."""
-    import pandas as pd
-
     sig = docs_ds.map_batches(
         lambda b: minhash_signature(b, text_col, key, k, num_hashes, bands, mode),
         batch_format="pyarrow", batch_size=None,
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[key].tolist())[:max_bucket]
-        out = [(a, b) for a, b in itertools.combinations(ids, 2)]
-        if not out:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["a", "b"])
-
-    cand = sig.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand = _bucket_pairs_ds(sig, ["band", "band_hash"], key, max_bucket)
     return _verify_jaccard_pairs(docs_ds, _dedup_pairs(cand), text_col, key, k, threshold)
 
 
@@ -290,6 +285,103 @@ def _pairs_empty(extra: str | None = None):
     if extra:
         cols[extra] = pa.array([], pa.float64())
     return rd.from_arrow(pa.table(cols))
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_pairs_ds(ds, bucket_cols: list, id_col: str,
+                     max_bucket: int, payload_col: str | None = None,
+                     pair_filter=None, num_shards: int | None = None):
+    """All (a < b) id pairs within equal-``bucket_cols`` groups, capped
+    at the ``max_bucket`` smallest ids per bucket — VECTORIZED.
+
+    The naive shape (``groupby(bucket_cols).map_groups(per_bucket_fn)``)
+    makes one Python call per bucket: at web scale that is billions of
+    pandas-frame constructions for mostly size-1 buckets.  Here the
+    shuffle groups by a COARSE shard key (a mixed hash of the bucket
+    key modulo ~4x CPUs) so ``map_groups`` fires once per SHARD; inside,
+    run boundaries over the lexsorted (bucket, id) rows find the
+    buckets and a per-distinct-run-length ``triu_indices`` template
+    emits every bucket's pairs in whole-shard numpy sweeps.  Bucket
+    membership is still tested on the EXACT key columns (the mixed
+    shard hash only co-locates; collisions cannot merge buckets).
+
+    ``payload_col``: optional extra int64 column gathered alongside the
+    ids; ``pair_filter(pa_av, pa_bv) -> bool mask`` then prunes pairs
+    on the two sides' payload values (e.g. SimHash Hamming distance).
+
+    Returns a Dataset (a, b) of int64 candidate pairs (not deduped
+    across shards/bands — feed ``_dedup_pairs``)."""
+    S = num_shards or max(32, min(1024, 4 * _join_parts()))
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        mix = np.zeros(t.num_rows, dtype=np.uint64)
+        for c in bucket_cols:
+            v = t.column(c).to_numpy(zero_copy_only=False)
+            if v.dtype.kind not in "iu":  # string keys (md5 parity mode)
+                v = _fnv1a_batch([str(x) for x in v])
+            mix = (mix ^ v.astype(np.uint64, copy=False)) * _MIX
+        return t.append_column(
+            "_shard", pa.array(((mix >> np.uint64(33)) % np.uint64(S))
+                               .astype(np.int64), pa.int64()))
+
+    def shard_pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = []
+        for c in bucket_cols:
+            v = g.column(c).to_numpy(zero_copy_only=False)
+            if v.dtype.kind not in "iu":  # lexsort can't take object dtype
+                v = v.astype("S")  # fixed-width bytes, exact equality
+            keys.append(v)
+        pay = (g.column(payload_col).to_numpy(zero_copy_only=False)
+               if payload_col else None)
+        order = np.lexsort([ids] + keys[::-1])
+        ids = ids[order]
+        keys = [k[order] for k in keys]
+        if pay is not None:
+            pay = pay[order]
+        # run boundaries on the EXACT bucket key columns
+        neq = np.zeros(len(ids) - 1, dtype=bool) if len(ids) else \
+            np.zeros(0, dtype=bool)
+        for k in keys:
+            neq |= k[1:] != k[:-1]
+        starts = np.flatnonzero(np.r_[True, neq]) if len(ids) else \
+            np.zeros(0, dtype=np.int64)
+        lens = np.diff(np.r_[starts, len(ids)])
+        # cap each run to its max_bucket SMALLEST ids (runs are
+        # id-sorted): keep positions < cap within their run
+        capped = np.minimum(lens, max_bucket)
+        pos = np.arange(len(ids)) - np.repeat(starts, lens)
+        keep = pos < np.repeat(capped, lens)
+        ids = ids[keep]
+        if pay is not None:
+            pay = pay[keep]
+        lens = capped[capped >= 2]
+        starts = np.r_[np.int64(0), np.cumsum(capped)][:-1][capped >= 2]
+        out_a, out_b = [], []
+        for L in np.unique(lens):
+            iu, ju = np.triu_indices(int(L), 1)
+            s = starts[lens == L]
+            # chunk so one sweep's index matrix stays ~small
+            step = max(1, 4_000_000 // max(len(iu), 1))
+            for i in range(0, len(s), step):
+                sc = s[i:i + step, None]
+                av, bv = ids[sc + iu], ids[sc + ju]
+                if pair_filter is not None:
+                    m = pair_filter(pay[sc + iu], pay[sc + ju])
+                    av, bv = av[m], bv[m]
+                out_a.append(av.ravel())
+                out_b.append(bv.ravel())
+        a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    return (ds.map_batches(add_shard, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("_shard")
+            .map_groups(shard_pairs, batch_format="pyarrow"))
 
 
 def _shingle_rows(keys: list, texts: list, k: int) -> pa.Table:
@@ -432,7 +524,6 @@ def ngram_jaccard_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
     distributed stage.  Returns a Dataset (a, b, jaccard).  Candidate volume is bounded by
     sum_over_shingles(posting^2); the cap keeps boilerplate shingles
     from exploding it."""
-    import pandas as pd
 
     def emit_shingles(b: pa.Table) -> pa.Table:
         # FNV-batch hashing: shingle hashes only BUILD the index — a
@@ -448,15 +539,7 @@ def ngram_jaccard_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
 
     inv = docs_ds.map_batches(emit_shingles, batch_format="pyarrow", batch_size=None)
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[key].to_numpy())[:max_posting]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-
-    cand = inv.groupby("sh").map_groups(posting_pairs, batch_format="pandas")
+    cand = _bucket_pairs_ds(inv, ["sh"], key, max_posting)
     return _verify_jaccard_pairs(docs_ds, _dedup_pairs(cand), text_col, key, k, threshold)
 
 
@@ -475,7 +558,6 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95,
     verified with exact cosine after a two-sided pairs⋈vectors Dataset
     join, so the corpus vectors move at most once and never through the
     driver.  Returns a Dataset (a, b, cos)."""
-    import pandas as pd
     import ray
 
     from .ann import _batch_matrix, _normalize
@@ -504,16 +586,8 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.95,
     coded = emb_ds.map_batches(bucket_codes, batch_format="pyarrow",
                                batch_size=2048)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[key].to_numpy())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-
     pairs_m = _dedup_pairs(
-        coded.groupby(["tbl", "code"]).map_groups(bucket_pairs, batch_format="pandas"))
+        _bucket_pairs_ds(coded, ["tbl", "code"], key, max_bucket))
     n_pairs = pairs_m.count()
     if n_pairs == 0:
         return _pairs_empty("cos")
@@ -621,8 +695,6 @@ def simhash_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
     per bucket; buckets above ``max_bucket`` are truncated (skew
     guard).  Final cross-block dedup is a distributed groupby; returns
     a Dataset (a, b)."""
-    import pandas as pd
-
     sh = docs_ds.map_batches(lambda b: simhash64(b, text_col, key, mode),
                              batch_format="pyarrow", batch_size=None)
 
@@ -641,21 +713,11 @@ def simhash_pairs(docs_ds, text_col: str = "text", key: str = "doc_id",
 
     exploded = sh.map_batches(explode_blocks, batch_format="pyarrow", batch_size=None)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = g["k"].to_numpy()[:max_bucket]
-        us = g["u"].to_numpy().view(np.uint64)[:max_bucket]
-        m = len(ks)
-        if m < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        ham = _popcount64(us[:, None] ^ us[None, :])
-        iu, ju = np.triu_indices(m, 1)
-        hit = ham[iu, ju] <= max_hamming
-        a = np.minimum(ks[iu[hit]], ks[ju[hit]])
-        b = np.maximum(ks[iu[hit]], ks[ju[hit]])
-        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+    def ham_ok(ua, ub):
+        return _popcount64(ua.view(np.uint64) ^ ub.view(np.uint64)) <= max_hamming
 
     # distributed cross-block dedup + a distributed sort over the
     # (a, b) id rows only — the pair list never lands on the driver
-    return _dedup_pairs(exploded.groupby(["blk", "code"])
-                        .map_groups(bucket_pairs, batch_format="pandas")).sort(["a", "b"])
+    return _dedup_pairs(
+        _bucket_pairs_ds(exploded, ["blk", "code"], "k", max_bucket,
+                         payload_col="u", pair_filter=ham_ok)).sort(["a", "b"])
