@@ -4,14 +4,14 @@ each group is sorted by ts inside the stage).
 
 - ``hourly_rollup``: tumbling 1h windows — partial aggregation inside
   map_batches, then a small groupby (pre-aggregate pattern).
-- ``sessionize``: 30-min-gap sessions per user via
-  groupby(user).map_groups over ts-sorted groups.
+- ``sessionize``: 30-min-gap sessions per user via one coarse-shard
+  groupby + vectorized run detection (ops/_shard.py) — no per-user
+  Python calls.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 __all__ = ["hourly_rollup", "sessionize"]
@@ -51,20 +51,36 @@ def hourly_rollup(events_ds):
 def sessionize(events_ds, gap_minutes: int = 30):
     """(user_id, session_id, session_start_us, n_events) — session
     breaks at ts gaps > gap.  session_id = rank of session start within
-    the user."""
+    the user (1-based).
+
+    One coarse-shard groupby (see ops/_shard.py) instead of a Python
+    call per user: inside each shard, one lexsort by (user, ts), then
+    session boundaries / lengths / per-user ranks all come out of
+    run-boundary numpy sweeps."""
+    from ._shard import sharded_map_groups
+
     gap_us = gap_minutes * 60_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts_us", kind="mergesort")
-        ts = g["ts_us"].to_numpy()
-        brk = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(brk)
-        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            session_start_us=("ts_us", "min"),
-            n_events=("ts_us", "size"),
-        )
-        return out[["user_id", "session_id", "session_start_us", "n_events"]]
+    def per_shard(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        bounds = np.flatnonzero(brk)
+        n_ev = np.diff(np.r_[bounds, len(uid)])
+        s_user = uid[bounds]
+        # session_id = 1-based rank of the session within its user
+        user_first = np.flatnonzero(np.r_[True, s_user[1:] != s_user[:-1]])
+        sess_lens = np.diff(np.r_[user_first, len(s_user)])
+        sid = np.arange(len(s_user)) - np.repeat(user_first, sess_lens) + 1
+        return pa.table({
+            "user_id": pa.array(s_user, pa.int64()),
+            "session_id": pa.array(sid, pa.int64()),
+            "session_start_us": pa.array(ts[bounds], pa.int64()),
+            "n_events": pa.array(n_ev, pa.int64()),
+        })
 
     def to_us(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -72,8 +88,6 @@ def sessionize(events_ds, gap_minutes: int = 30):
             "ts_us": b.column("ts").cast(pa.int64()),
         })
 
-    return (
-        events_ds.map_batches(to_us, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
-    )
+    return sharded_map_groups(
+        events_ds.map_batches(to_us, batch_format="pyarrow", batch_size=None),
+        ["user_id"], per_shard)

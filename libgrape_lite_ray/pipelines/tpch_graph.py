@@ -93,14 +93,23 @@ def derived_vdata_str(sf_dir: str):
         return pa.table({"oid": ok % K_VERTS, "okey": ok,
                          "tag": t.column("o_orderpriority")})
 
-    import pandas as pd
+    from ..ops._shard import sharded_map_groups
 
-    def keep_max(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.sort_values("okey").tail(1)
-        return r[["oid", "tag"]]
+    def keep_max(t: pa.Table) -> pa.Table:
+        # vectorized arg-max-okey per oid: lexsort (oid, okey), the
+        # LAST row of each oid-run wins — one call per shard, not one
+        # pandas frame per vertex
+        oid = t.column("oid").to_numpy(zero_copy_only=False)
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, oid))
+        oid_s = oid[order]
+        last = np.flatnonzero(np.r_[oid_s[1:] != oid_s[:-1], True])
+        return (t.select(["oid", "tag"])
+                .take(pa.array(order[last], pa.int64())))
 
-    return (ds.map_batches(make, batch_format="pyarrow", batch_size=None)
-            .groupby("oid").map_groups(keep_max, batch_format="pandas"))
+    return sharded_map_groups(
+        ds.map_batches(make, batch_format="pyarrow", batch_size=None),
+        ["oid"], keep_max)
 
 
 def _cache_dir(sf_dir: str, variant: str) -> str:

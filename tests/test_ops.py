@@ -318,3 +318,84 @@ def test_audio_pipeline(ray_session):
                         concurrency=1).to_pandas().sort_values("key"))
     assert (res["sample_rate"] == 8000).all()
     np.testing.assert_allclose(res["duration_s"], 0.1, rtol=1e-2)
+
+
+def test_bucket_pairs_kernel(ray_session):
+    """_bucket_pairs_ds: exact per-bucket pairs, smallest-ids cap,
+    payload filter — against a brute-force reference."""
+    import itertools
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.dedup import _bucket_pairs_ds
+
+    rng = np.random.default_rng(3)
+    n = 400
+    bands = rng.integers(0, 3, n)
+    hashes = rng.integers(0, 25, n)          # small space -> real buckets
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    t = pa.table({"band": pa.array(bands, pa.int64()),
+                  "band_hash": pa.array(hashes, pa.int64()),
+                  "doc_id": pa.array(ids, pa.int64())})
+    cap = 5
+    got = (_bucket_pairs_ds(rd.from_arrow(t), ["band", "band_hash"],
+                            "doc_id", cap)
+           .to_pandas().drop_duplicates().sort_values(["a", "b"]))
+    want = set()
+    buckets = {}
+    for b, h, i in zip(bands, hashes, ids):
+        buckets.setdefault((b, h), []).append(i)
+    for mem in buckets.values():
+        for a, b2 in itertools.combinations(sorted(mem)[:cap], 2):
+            want.add((a, b2))
+    assert set(zip(got["a"], got["b"])) == want
+    assert (got["a"] < got["b"]).all()
+
+
+def test_bucket_pairs_payload_filter(ray_session):
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.dedup import _bucket_pairs_ds
+
+    t = pa.table({"bk": pa.array([7, 7, 7, 9, 9], pa.int64()),
+                  "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "u": pa.array([10, 10, 99, 4, 4], pa.int64())})
+    got = (_bucket_pairs_ds(rd.from_arrow(t), ["bk"], "k", 64,
+                            payload_col="u",
+                            pair_filter=lambda ua, ub: ua == ub)
+           .to_pandas().drop_duplicates().sort_values(["a", "b"]))
+    assert set(zip(got["a"], got["b"])) == {(1, 2), (4, 5)}
+
+
+def test_sharded_map_groups_matches_per_group(ray_session):
+    """sharded sessionize == the per-user reference computed in pandas."""
+    import pandas as pd
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.window import sessionize
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    users = rng.integers(0, 200, n).astype(np.int64)
+    ts = rng.integers(0, 10**10, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.int64()),
+        "value": pa.array(np.ones(n), pa.float64())}))
+    got = (sessionize(ds).to_pandas()
+           .sort_values(["user_id", "session_id"]).reset_index(drop=True))
+    gap_us = 30 * 60_000_000
+    rows = []
+    df = pd.DataFrame({"user_id": users, "ts_us": ts}).sort_values(
+        ["user_id", "ts_us"])
+    for uid, g in df.groupby("user_id"):
+        tsv = g["ts_us"].to_numpy()
+        brk = np.concatenate([[True], np.diff(tsv) > gap_us])
+        sid = np.cumsum(brk)
+        for s in np.unique(sid):
+            m = sid == s
+            rows.append((uid, int(s), int(tsv[m].min()), int(m.sum())))
+    want = pd.DataFrame(rows, columns=["user_id", "session_id",
+                                       "session_start_us", "n_events"])
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_dtype=False)
