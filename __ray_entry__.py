@@ -297,6 +297,27 @@ SELECT user_id,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(text, '\\s+')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+"""
+
+_SLIDING_SQL = """
+WITH x AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+k AS (SELECT UNNEST(range(4)) AS k),
+e AS (SELECT user_id, ((ts_us // 900000000) - k.k) * 900000000 AS ws, value
+      FROM x CROSS JOIN k)
+SELECT user_id,
+       CAST(ws AS BIGINT) AS window_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 _SESSION_SQL = """
 WITH x AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 y AS (SELECT user_id, ts_us,
@@ -744,6 +765,38 @@ def _q_hourly(sf_dir: str):
     return t.map_batches(rnd, batch_format="pyarrow", batch_size=None)
 
 
+def _q_top_tokens(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.text import top_tokens
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    return top_tokens(docs, k=100)
+
+
+def _q_sliding(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.ops.window import sliding_rollup
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    t = sliding_rollup(ev, window_minutes=60, hop_minutes=15)
+
+    def rnd(b):
+        return b.set_column(b.schema.get_field_index("sum_value"), "sum_value",
+                            pc.round(b.column("sum_value"), ndigits=6))
+
+    return t.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
+
 def _q_sessionize(sf_dir: str):
     import os
 
@@ -970,7 +1023,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "top_tokens": _q_top_tokens,
         "events_hourly": _q_hourly,
+        "events_sliding": _q_sliding,
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann,
         "ann_topk_ivf": _q_ann_ivf,
@@ -1009,7 +1064,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _QUALITY_SQL,
         "lang_id": _LANG_SQL,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+        "top_tokens": _TOP_TOKENS_SQL,
         "events_hourly": _HOURLY_SQL,
+        "events_sliding": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,
         "ann_topk": _ANN_SQL,
         "minhash_pairs": _MINHASH_SQL,

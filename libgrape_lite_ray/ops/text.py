@@ -14,7 +14,7 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats", "quality_stats", "lang_id", "fingerprint"]
+__all__ = ["token_stats", "quality_stats", "lang_id", "fingerprint", "top_tokens"]
 
 TOKEN_RE = r"\S+"
 ALPHA_RE = r"[A-Za-z]"
@@ -95,3 +95,31 @@ def fingerprint(batch: pa.Table, text_col: str = "text", key: str = "doc_id") ->
     texts = batch.column(text_col).to_pylist()
     h = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
     return pa.table({key: batch.column(key), "fp": pa.array(h, pa.string())})
+
+
+def top_tokens(docs_ds, k: int = 100, text_col: str = "text"):
+    """EXACT top-k most frequent whitespace tokens across the corpus —
+    the vocabulary-builder primitive of a tokenizer-training pipeline.
+    Returns a Dataset (token, n) sorted by (n desc, token asc), k rows.
+
+    Scale shape: per-batch partial counts (one Arrow ``value_counts``
+    per block — the shuffle moves (token, partial_n) rows, ~distinct
+    tokens per block, not one row per token OCCURRENCE), a distributed
+    ``groupby(token).sum``, then a distributed sort; only the k-row
+    head ever lands anywhere small.  Ties break on token asc so the
+    result is deterministic and SQL-reproducible."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column(text_col), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = (docs_ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    # sort is distributed; limit(k) takes only the head blocks
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)

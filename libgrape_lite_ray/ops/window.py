@@ -4,6 +4,9 @@ each group is sorted by ts inside the stage).
 
 - ``hourly_rollup``: tumbling 1h windows — partial aggregation inside
   map_batches, then a small groupby (pre-aggregate pattern).
+- ``sliding_rollup``: hopping windows (any multiple-of-hop start) —
+  tumbling-hop pre-aggregate, THEN the W/H window replication over the
+  small partials, then one merge groupby.
 - ``sessionize``: 30-min-gap sessions per user via one coarse-shard
   groupby + vectorized run detection (ops/_shard.py) — no per-user
   Python calls.
@@ -14,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hourly_rollup", "sessionize"]
+__all__ = ["hourly_rollup", "sliding_rollup", "sessionize"]
 
 HOUR_US = 3_600_000_000
 
@@ -91,3 +94,49 @@ def sessionize(events_ds, gap_minutes: int = 30):
     return sharded_map_groups(
         events_ds.map_batches(to_us, batch_format="pyarrow", batch_size=None),
         ["user_id"], per_shard)
+
+
+def sliding_rollup(events_ds, window_minutes: int = 60, hop_minutes: int = 15):
+    """(user_id, window_start_us, n_events, sum_value) over HOPPING
+    (sliding) windows [s, s+W) with s any multiple of H = hop.
+
+    Scale shape: per-batch partials on (user, hop-bucket) FIRST — a
+    tumbling-H pre-aggregate — so the W/H-fold window replication runs
+    over the much smaller hop partials, never the raw events; one
+    final groupby over (user, window_start) merges the partials.  A
+    window row is emitted only if it contains >= 1 event (sparse, like
+    the tumbling rollup)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    W = window_minutes * 60_000_000
+    H = hop_minutes * 60_000_000
+    if W % H:
+        raise ValueError("window must be a multiple of hop")
+    R = W // H
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64())
+        hop = pc.multiply(pc.divide(ts, H), H)
+        t = pa.table({"user_id": b.column("user_id"),
+                      "hop": hop, "v": b.column("value")})
+        g = t.group_by(["user_id", "hop"]).aggregate(
+            [("v", "sum"), ("v", "count")])
+        # expand each hop partial to the R windows containing it
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        hp = g.column("hop").to_numpy(zero_copy_only=False)
+        vs = g.column("v_sum").to_numpy(zero_copy_only=False)
+        vc = g.column("v_count").to_numpy(zero_copy_only=False)
+        k = np.tile(np.arange(R, dtype=np.int64), len(uid))
+        return pa.table({
+            "user_id": pa.array(np.repeat(uid, R), pa.int64()),
+            "window_start_us": pa.array(np.repeat(hp, R) - k * H, pa.int64()),
+            "n": pa.array(np.repeat(vc, R), pa.int64()),
+            "v": pa.array(np.repeat(vs, R), pa.float64()),
+        })
+
+    return (events_ds
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["user_id", "window_start_us"])
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("v", alias_name="sum_value")))

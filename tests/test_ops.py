@@ -399,3 +399,47 @@ def test_sharded_map_groups_matches_per_group(ray_session):
                                        "session_start_us", "n_events"])
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_sliding_rollup(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.window import sliding_rollup
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    users = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 6 * 3_600_000_000, n).astype(np.int64)
+    vals = rng.normal(size=n)
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(users, pa.int64()),
+                                 "ts": pa.array(ts, pa.int64()),
+                                 "value": pa.array(vals, pa.float64())}))
+    W, H = 3_600_000_000, 900_000_000
+    got = (sliding_rollup(ds, 60, 15).to_pandas()
+           .sort_values(["user_id", "window_start_us"]).reset_index(drop=True))
+    rows = []
+    for k in range(W // H):
+        rows.append(pd.DataFrame({"user_id": users,
+                                  "window_start_us": (ts // H - k) * H,
+                                  "value": vals}))
+    want = (pd.concat(rows).groupby(["user_id", "window_start_us"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .sort_values(["user_id", "window_start_us"]).reset_index(drop=True))
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["window_start_us"].tolist() == want["window_start_us"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+
+
+def test_top_tokens(ray_session):
+    from collections import Counter
+
+    from libgrape_lite_ray.ops.text import top_tokens
+
+    texts = ["aa bb  cc aa", "bb aa", "dd\tbb\naa", ""]
+    ds = _docs_ds(texts)
+    got = top_tokens(ds, k=3).to_pandas()
+    c = Counter(tok for t in texts for tok in t.split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(got["token"], got["n"])) == want
