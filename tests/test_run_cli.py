@@ -1,0 +1,70 @@
+"""`python -m libgrape_lite_ray.run` job entrypoint (ray-job-submit
+shape): build -> run -> resumable partitioned output, in-process main()
+(the pytest session owns Ray; main() must not re-init)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _edges_parquet(path):
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 50, 400).astype(np.int64)
+    dst = rng.integers(0, 50, 400).astype(np.int64)
+    m = src != dst
+    pq.write_table(pa.table({"src": pa.array(src[m]), "dst": pa.array(dst[m])}),
+                   path)
+
+
+def _read_out(out_dir):
+    return pa.concat_tables([
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))])
+
+
+def test_run_cli_end_to_end_and_resume(ray_session, tmp_work, capsys):
+    from libgrape_lite_ray.run import main
+
+    ep = f"{tmp_work}/edges.parquet"
+    _edges_parquet(ep)
+    out = f"{tmp_work}/scores"
+    argv = ["--edges", ep, "--algo", "pagerank",
+            "--params", '{"rounds": 5}',
+            "--work-dir", f"{tmp_work}/wd", "--out", out,
+            "--num-partitions", "3"]
+    s1 = main(argv)
+    assert s1["rounds"] == 5 and s1["written"] >= 1
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["algo"] == "pagerank"
+    t1 = _read_out(out)
+    assert t1.num_rows == s1["vertices"]
+    assert set(t1.column_names) >= {"oid"}
+
+    # resume: all output partitions already committed -> all skipped,
+    # result identical on disk
+    s2 = main(argv + ["--resume"])
+    assert s2["written"] == 0 and s2["skipped"] == s1["written"]
+    t2 = _read_out(out)
+    assert t1.equals(t2)
+
+
+def test_run_cli_corpus_mode(ray_session, tmp_work):
+    from libgrape_lite_ray.fixtures import pages_table
+
+    from libgrape_lite_ray.run import main
+
+    pages = pages_table(60, n_sites=6, seed=3)
+    pp = f"{tmp_work}/pages.parquet"
+    pq.write_table(pages, pp)
+    out = f"{tmp_work}/wcc_out"
+    s = main(["--corpus", pp, "--algo", "wcc", "--symmetrize",
+              "--work-dir", f"{tmp_work}/wd2", "--out", out,
+              "--num-partitions", "2"])
+    assert s["written"] >= 1 and s["vertices"] > 0
+    t = _read_out(out)
+    assert t.num_rows == s["vertices"]
