@@ -530,6 +530,14 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
 ORDER BY a, b
 """
 
+_DEGREE_HIST_SQL = f"""
+WITH {_E}, {_U}, {_V},
+D AS (SELECT v.node, COALESCE(c.c, 0) AS deg FROM V v LEFT JOIN
+      (SELECT src, COUNT(*) AS c FROM E GROUP BY src) c ON v.node = c.src)
+SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM D GROUP BY deg ORDER BY degree
+"""
+
 _OUT_DEGREE_SQL = f"WITH {_E} SELECT src, CAST(COUNT(*) AS BIGINT) AS out_degree FROM E GROUP BY src ORDER BY src"
 _EDGES_SQL = f"WITH {_E} SELECT src, dst FROM E ORDER BY src, dst"
 
@@ -552,6 +560,29 @@ def _edges_distinct(sf_dir: str):
 
 def _q_edges(sf_dir: str):
     return _edges_distinct(sf_dir)
+
+
+def _q_degree_hist(sf_dir: str):
+    """Degree-distribution histogram STAYING DISTRIBUTED end to end:
+    the engine's zero-superstep Degree program (CSR row lengths, M6 /
+    GetLocalOutDegree analog) -> Dataset groupby over the V-sized
+    result — no oid re-attach, no driver-side histogram."""
+    from ray.data.aggregate import Count
+
+    from libgrape_lite_ray.graph.driver import GraphEngine
+    from libgrape_lite_ray.pipelines.tpch_graph import graph_meta_for
+
+    meta = graph_meta_for(sf_dir, "directed")
+    eng = GraphEngine(meta)
+    try:
+        handle, _ = eng.run("degree")
+        out = (handle.to_dataset().select_columns(["degree"])
+               .groupby("degree")
+               .aggregate(Count(alias_name="n_vertices"))
+               .materialize())  # consume before the engine goes away
+    finally:
+        eng.shutdown()
+    return out
 
 
 def _q_out_degree(sf_dir: str):
@@ -1005,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "edges": _q_edges,
         "out_degree": _q_out_degree,
+        "degree_hist": _q_degree_hist,
         "pagerank": _q_pagerank,
         "pagerank_local": _q_pagerank_local,
         "wcc": _q_wcc,
@@ -1046,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "edges": _EDGES_SQL,
         "out_degree": _OUT_DEGREE_SQL,
+        "degree_hist": _DEGREE_HIST_SQL,
         "pagerank": _pagerank_sql(10, 0.85),
         "pagerank_local": _pagerank_local_sql(10, 0.85),
         "wcc": _WCC_SQL,
