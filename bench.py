@@ -272,6 +272,20 @@ def run_bench() -> dict:
     timings["dedup_cluster"] = time.perf_counter() - t0
     _mark("dedup_cluster")
 
+    # ---- vocabulary build over the FULL 1.5M-page bench corpus text
+    # (ops/text.top_tokens): value_counts partials -> groupby sum ->
+    # distributed top-k sort — the tokenizer-vocab primitive at the
+    # web-corpus scale the headline graph is extracted from
+    from libgrape_lite_ray.ops.text import top_tokens
+
+    t0 = time.perf_counter()
+    corpus_txt = rd.read_parquet(_bench_pages_dir(N_BENCH_PAGES),
+                                 columns=["text"])
+    vocab = top_tokens(corpus_txt, k=100).to_pandas()
+    timings["vocab_top100"] = round(time.perf_counter() - t0, 3)
+    timings["vocab_distinct_in_top"] = len(vocab)
+    _mark("vocab_top100")
+
     # ---- dedup signature-kernel micro-bench: vectorized FNV default
     # vs md5 oracle-parity mode (round-2 verdict #4's 10x criterion)
     import pyarrow as pa

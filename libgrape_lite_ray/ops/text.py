@@ -111,7 +111,10 @@ def top_tokens(docs_ds, k: int = 100, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(b.column(text_col), r"\s+")
+        # ascii_split_whitespace == RE2 \s+ split (same ASCII whitespace
+        # set as the DuckDB oracle's string_split_regex('\s+'); RE2 \s
+        # is ASCII-only) and measures ~5x faster than the regex kernel
+        toks = pc.ascii_split_whitespace(b.column(text_col))
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
         vc = flat.value_counts()
