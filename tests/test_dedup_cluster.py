@@ -76,3 +76,28 @@ def test_clusters_end_to_end_minhash(ray_session, tmp_work):
     out = dedup_clusters(docs, f"{tmp_work}/pg2", mode="md5") \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out["cluster"].tolist() == [10, 10, 10, 13]
+
+
+def test_keep_and_label_join_fallback_match_broadcast(ray_session, tmp_work):
+    """broadcast_rows=0 forces the distributed-join routes; results
+    must equal the broadcast routes bit-for-bit."""
+    import ray.data as rd
+
+    from libgrape_lite_ray.pipelines.dedup_cluster import (dedup_clusters,
+                                                           dedup_keep)
+
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 7], pa.int64()),
+        "b": pa.array([2, 3, 8], pa.int64()),
+    }))
+    docs = _docs(10)
+    cl_b = dedup_clusters(docs, f"{tmp_work}/pgb", pairs_ds=pairs)
+    cl_j = dedup_clusters(docs, f"{tmp_work}/pgj", pairs_ds=pairs,
+                          broadcast_rows=0)
+    pb = cl_b.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pj = cl_j.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert pb.equals(pj)
+
+    kb = dedup_keep(docs, cl_b).to_pandas().sort_values("doc_id")
+    kj = dedup_keep(docs, cl_b, broadcast_rows=0).to_pandas().sort_values("doc_id")
+    assert kb["doc_id"].tolist() == kj["doc_id"].tolist() == [0, 1, 4, 5, 6, 7, 9]
