@@ -738,20 +738,19 @@ def _write_vdata(vdata_ds, meta: GraphMeta, broadcast_threshold: int = 4_000_000
         sorted_oids = vt.column("oid").take(order).combine_chunks()
         dict_ref = ray.put(sorted_oids)
 
-        class TranslateV:
-            def __init__(self):
-                self.oids = ray.get(dict_ref)
+        def translate_v(t: pa.Table) -> pa.Table:
+            # task pool, not actors: zero-copy plasma dict read per
+            # task, no 1->N ramp (same fix as _translate_broadcast)
+            oids = ray.get(dict_ref)
+            g = pc.index_in(t.column("oid"), value_set=oids).cast(pa.int64())
+            d = {"gid": g}
+            for c in cols:
+                d[c] = t.column(c)
+            out = pa.table(d)
+            return out.filter(pc.is_valid(out.column("gid")))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                g = pc.index_in(t.column("oid"), value_set=self.oids).cast(pa.int64())
-                d = {"gid": g}
-                for c in cols:
-                    d[c] = t.column(c)
-                out = pa.table(d)
-                return out.filter(pc.is_valid(out.column("gid")))
-
-        gidded = vdata_ds.map_batches(TranslateV, batch_format="pyarrow",
-                                      batch_size=None, concurrency=(1, 8))
+        gidded = vdata_ds.map_batches(translate_v, batch_format="pyarrow",
+                                      batch_size=None)
     else:
         v = rd.read_parquet(meta.vertices_path, columns=["oid", "gid"])
         gidded = (vdata_ds.join(v, join_type="inner", on=("oid",),
