@@ -92,6 +92,25 @@ def _pagerank_local_sql(rounds: int = 10, d: float = 0.85) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
+    """Unrolled k-core peeling on the distinct undirected edge set:
+    round r keeps vertices with >= k alive neighbors; the derived
+    graphs converge well under 30 peels (the Ray side converges
+    exactly and its round count is asserted < 30 in pytest)."""
+    ctes = [_E, _U, "a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM U)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT x.node, COUNT(*) AS deg FROM a{r-1} x "
+            f"JOIN U u ON u.a = x.node JOIN a{r-1} y ON u.b = y.node GROUP BY x.node)"
+        )
+        ctes.append(f"a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k})")
+    final = (
+        f"SELECT v.node AS oid, CAST(CASE WHEN a.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_kcore "
+        f"FROM a0 v LEFT JOIN a{rounds} a ON v.node = a.node ORDER BY oid"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _cdlp_sql(rounds: int = 10) -> str:
     """Unrolled synchronous LPA with (count desc, label asc) tiebreak
     (cdlp_utils.h:28-60)."""
@@ -560,6 +579,16 @@ def _edges_distinct(sf_dir: str):
 
 def _q_edges(sf_dir: str):
     return _edges_distinct(sf_dir)
+
+
+def _q_kcore(sf_dir: str):
+    """k-core membership on the symmetrized derived graph via the
+    engine KCore peeling program (programs/kcore.py).  k=44 peels a
+    real boundary at sf0.01 (59 vertices cascade out; k=46 empties the
+    graph) so the oracle checks actual peeling, not a no-op."""
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "kcore", {"k": 44}, variant="undirected")
 
 
 def _q_degree_hist(sf_dir: str):
@@ -1037,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges": _q_edges,
         "out_degree": _q_out_degree,
         "degree_hist": _q_degree_hist,
+        "kcore": _q_kcore,
         "pagerank": _q_pagerank,
         "pagerank_local": _q_pagerank_local,
         "wcc": _q_wcc,
@@ -1079,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "edges": _EDGES_SQL,
         "out_degree": _OUT_DEGREE_SQL,
         "degree_hist": _DEGREE_HIST_SQL,
+        "kcore": _kcore_sql(k=44),
         "pagerank": _pagerank_sql(10, 0.85),
         "pagerank_local": _pagerank_local_sql(10, 0.85),
         "wcc": _WCC_SQL,

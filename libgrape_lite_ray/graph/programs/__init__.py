@@ -16,11 +16,12 @@ from .lcc import LCC
 from .sample import MultiHopSampler, SampleNeighbors
 from .vdata import VDataMatch, VDataSum
 from .degree import Degree
+from .kcore import KCore
 
 PROGRAMS = {p.name: p for p in (PageRank, PageRankLocal, WCC, CDLP, BFS, SSSP,
-                                LCC, Degree, SampleNeighbors, MultiHopSampler,
+                                LCC, Degree, KCore, SampleNeighbors, MultiHopSampler,
                                 VDataSum, VDataMatch)}
 
-__all__ = ["VertexProgram", "PageRank", "PageRankLocal", "WCC", "CDLP", "BFS",
+__all__ = ["VertexProgram", "PageRank", "PageRankLocal", "WCC", "CDLP", "BFS", "KCore",
            "SSSP", "LCC", "Degree", "SampleNeighbors", "MultiHopSampler",
            "VDataSum", "VDataMatch", "PROGRAMS"]
