@@ -68,3 +68,33 @@ def test_run_cli_corpus_mode(ray_session, tmp_work):
     assert s["written"] >= 1 and s["vertices"] > 0
     t = _read_out(out)
     assert t.num_rows == s["vertices"]
+
+
+def test_run_cli_mid_algorithm_resume(ray_session, tmp_work):
+    """Kill-at-round-3 (max_rounds) then --resume: final scores equal
+    an uninterrupted run bit-for-bit."""
+    from libgrape_lite_ray.run import main
+
+    ep = f"{tmp_work}/edges2.parquet"
+    _edges_parquet(ep)
+    base = ["--edges", ep, "--algo", "pagerank", "--params",
+            '{"rounds": 6}', "--num-partitions", "3"]
+
+    full = main(base + ["--work-dir", f"{tmp_work}/wf",
+                        "--out", f"{tmp_work}/full"])
+    assert full["rounds"] == 6
+
+    # "killed" run: stops after 3 rounds, checkpointing every round
+    part = main(base + ["--work-dir", f"{tmp_work}/wk",
+                        "--out", f"{tmp_work}/part1",
+                        "--checkpoint-every", "1", "--max-rounds", "3"])
+    assert part["rounds"] == 3
+    # resume from the checkpoint, run to completion
+    res = main(base + ["--work-dir", f"{tmp_work}/wk",
+                       "--out", f"{tmp_work}/part2",
+                       "--checkpoint-every", "1", "--resume"])
+    assert res["resumed_from"] == 3 and res["rounds"] == 6
+
+    t_full = _read_out(f"{tmp_work}/full").sort_by("oid")
+    t_res = _read_out(f"{tmp_work}/part2").sort_by("oid")
+    assert t_full.equals(t_res)
