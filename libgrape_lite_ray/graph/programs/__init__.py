@@ -17,11 +17,12 @@ from .sample import MultiHopSampler, SampleNeighbors
 from .vdata import VDataMatch, VDataSum
 from .degree import Degree
 from .kcore import KCore
+from .coreness import Coreness
 
 PROGRAMS = {p.name: p for p in (PageRank, PageRankLocal, WCC, CDLP, BFS, SSSP,
-                                LCC, Degree, KCore, SampleNeighbors, MultiHopSampler,
+                                LCC, Degree, KCore, Coreness, SampleNeighbors, MultiHopSampler,
                                 VDataSum, VDataMatch)}
 
 __all__ = ["VertexProgram", "PageRank", "PageRankLocal", "WCC", "CDLP", "BFS", "KCore",
-           "SSSP", "LCC", "Degree", "SampleNeighbors", "MultiHopSampler",
+           "SSSP", "LCC", "Degree", "Coreness", "SampleNeighbors", "MultiHopSampler",
            "VDataSum", "VDataMatch", "PROGRAMS"]
