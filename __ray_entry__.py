@@ -136,6 +136,31 @@ def _coreness_sql(rounds: int = 16) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _msbfs_sql(n_sources: int = 64, rounds: int = 8) -> str:
+    """Unrolled 64-source BFS closeness base: sources = the n_sources
+    smallest vertex ids (the engine picks gids 0..S-1, which ARE the
+    smallest oids), per-round frontier expansion with MIN-d dedup.
+    The engine converges in 4 rounds at sf0.01 (measured); 8 gives
+    margin — extra rounds are no-ops."""
+    ctes = [_E, _U, _V,
+            f"S AS MATERIALIZED (SELECT node FROM V ORDER BY node LIMIT {n_sources})",
+            "m0 AS MATERIALIZED (SELECT node AS src, node, 0 AS d FROM S)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT src, node, MIN(d) AS d FROM ("
+            f"SELECT src, node, d FROM m{r-1} UNION ALL "
+            f"SELECT x.src, u.b AS node, {r} AS d FROM m{r-1} x "
+            f"JOIN U u ON u.a = x.node WHERE x.d = {r-1}) GROUP BY src, node)"
+        )
+    final = (
+        f"SELECT v.node AS oid, CAST(COUNT(m.src) AS BIGINT) AS n_reach, "
+        f"CAST(COALESCE(SUM(m.d), 0) AS BIGINT) AS sum_dist "
+        f"FROM V v LEFT JOIN m{rounds} m ON m.node = v.node "
+        f"GROUP BY v.node ORDER BY oid"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _cdlp_sql(rounds: int = 10) -> str:
     """Unrolled synchronous LPA with (count desc, label asc) tiebreak
     (cdlp_utils.h:28-60)."""
@@ -624,6 +649,16 @@ def _q_coreness(sf_dir: str):
     return run_graph_query(sf_dir, "coreness", variant="undirected")
 
 
+def _q_msbfs(sf_dir: str):
+    """64-way bit-parallel multi-source BFS (programs/msbfs.py): exact
+    (n_reach, sum_dist) closeness base from the 64 smallest-oid
+    sources."""
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    return run_graph_query(sf_dir, "msbfs", {"n_sources": 64},
+                           variant="undirected")
+
+
 def _q_degree_hist(sf_dir: str):
     """Degree-distribution histogram STAYING DISTRIBUTED end to end:
     the engine's zero-superstep Degree program (CSR row lengths, M6 /
@@ -1101,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_hist": _q_degree_hist,
         "kcore": _q_kcore,
         "coreness": _q_coreness,
+        "msbfs_closeness": _q_msbfs,
         "pagerank": _q_pagerank,
         "pagerank_local": _q_pagerank_local,
         "wcc": _q_wcc,
@@ -1145,6 +1181,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_hist": _DEGREE_HIST_SQL,
         "kcore": _kcore_sql(k=44),
         "coreness": _coreness_sql(),
+        "msbfs_closeness": _msbfs_sql(),
         "pagerank": _pagerank_sql(10, 0.85),
         "pagerank_local": _pagerank_local_sql(10, 0.85),
         "wcc": _WCC_SQL,

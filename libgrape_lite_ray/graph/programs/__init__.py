@@ -18,11 +18,12 @@ from .vdata import VDataMatch, VDataSum
 from .degree import Degree
 from .kcore import KCore
 from .coreness import Coreness
+from .msbfs import MSBFS
 
 PROGRAMS = {p.name: p for p in (PageRank, PageRankLocal, WCC, CDLP, BFS, SSSP,
-                                LCC, Degree, KCore, Coreness, SampleNeighbors, MultiHopSampler,
+                                LCC, Degree, KCore, Coreness, MSBFS, SampleNeighbors, MultiHopSampler,
                                 VDataSum, VDataMatch)}
 
 __all__ = ["VertexProgram", "PageRank", "PageRankLocal", "WCC", "CDLP", "BFS", "KCore",
-           "SSSP", "LCC", "Degree", "Coreness", "SampleNeighbors", "MultiHopSampler",
+           "SSSP", "LCC", "Degree", "Coreness", "MSBFS", "SampleNeighbors", "MultiHopSampler",
            "VDataSum", "VDataMatch", "PROGRAMS"]
