@@ -249,6 +249,18 @@ def run_bench() -> dict:
     timings["engine_wcc_reps"] = wcc_times
     _mark("engine_wcc")
     timings["engine_wcc_rounds"] = ewc_box["m"]["rounds"]
+
+    # 64-way bit-parallel multi-source BFS on the same undirected graph
+    # (programs/msbfs.py): 64 traversals in one pass of uint64 masks
+    ems_box = {}
+
+    def _msbfs():
+        _, ems_box["m"] = eng.run("msbfs", {"n_sources": 64})
+
+    timings["engine_msbfs64"], ms_times = _steady_best(_msbfs)
+    timings["engine_msbfs64_reps"] = ms_times
+    timings["engine_msbfs64_rounds"] = ems_box["m"]["rounds"]
+    _mark("engine_msbfs64")
     eng.shutdown()
 
     if engine_only:
