@@ -659,6 +659,33 @@ def _q_msbfs(sf_dir: str):
                            variant="undirected")
 
 
+def _q_hll_tokens(sf_dir: str):
+    """Approximate distinct-token count over the documents table via
+    the HyperLogLog sketch (ops/sketch.py) — rows-only by design
+    (~1.6% rel. error at p=12; deterministic for a given corpus).
+    Returns one row (estimate, p) plus the corpus doc count."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.sketch import hll_distinct
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+
+    def toks(t):
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.ascii_split_whitespace(t.column("text")))
+        return pa.table({"tok": flat.filter(pc.not_equal(flat, ""))})
+
+    est, _ = hll_distinct(docs.map_batches(toks, batch_format="pyarrow",
+                                           batch_size=None), "tok", p=12)
+    return pa.table({"distinct_tokens_est": pa.array([round(est, 1)]),
+                     "p": pa.array([12], pa.int64())})
+
+
 def _q_degree_hist(sf_dir: str):
     """Degree-distribution histogram STAYING DISTRIBUTED end to end:
     the engine's zero-superstep Degree program (CSR row lengths, M6 /
@@ -1156,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,
+        "hll_tokens": _q_hll_tokens,
         "events_hourly": _q_hourly,
         "events_sliding": _q_sliding,
         "sessionize": _q_sessionize,

@@ -1,0 +1,94 @@
+"""Sketch operators — constant-memory approximate aggregates for
+corpus-scale statistics (the "novel sketch" custom-operator family).
+
+``hll_distinct``: HyperLogLog distinct count (Flajolet et al. 2007,
+with the standard small-range linear-counting correction).  Scale
+shape: each block folds to ONE 2^p-byte register array inside
+``map_batches`` (vectorized ``maximum.at`` over FNV-hashed values —
+no per-row Python), the per-block sketches are elementwise-max-merged
+(associative + commutative, so block order and partitioning never
+change the answer), and only KILOBYTES ever leave the workers.  The
+relative error is ~1.04/sqrt(2^p) (~1.6% at the default p=12); the
+result is DETERMINISTIC for a given input set (FNV is seedless), so
+repeated runs and re-partitions reproduce bit-identical estimates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hll_distinct", "hll_merge", "hll_estimate"]
+
+
+def _hash64(arr) -> np.ndarray:
+    """uint64 hashes: FNV-1a for strings, a splitmix64 finalizer for
+    integers (both deterministic and seedless)."""
+    v = arr.to_numpy(zero_copy_only=False) if hasattr(arr, "to_numpy") else np.asarray(arr)
+    if v.dtype.kind in "iu":
+        x = v.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x
+    from .dedup import _fnv1a_batch
+
+    return _fnv1a_batch([str(s) for s in v])
+
+
+def _block_registers(values, p: int) -> np.ndarray:
+    """One 2^p-byte HLL register array for a block of values."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    h = _hash64(values)
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # rho = leading-zero count of the (64-p)-bit suffix + 1
+    nz = w > 0
+    rho = np.full(len(h), 64 - p + 1, dtype=np.uint8)
+    # floor(log2(w)) via float64 exponent is exact for w < 2^53; the
+    # suffix is 52 bits at p=12 (and any p >= 12), below that bound
+    rho[nz] = (64 - p) - np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(sketches) -> np.ndarray:
+    """Elementwise-max merge of register arrays (associative)."""
+    out = None
+    for s in sketches:
+        out = s.copy() if out is None else np.maximum(out, s)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with linear counting at small range."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear counting
+    return float(e)
+
+
+def hll_distinct(ds, col: str, p: int = 12):
+    """-> (estimate: float, registers: np.ndarray).  One pass: blocks
+    fold to 2^p-byte sketches inside ``map_batches``; only the sketch
+    rows (m bytes each) reach the driver for the final max-merge."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+
+    def fold(t: pa.Table) -> pa.Table:
+        regs = _block_registers(t.column(col), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(fold, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    sketches = [np.frombuffer(r["regs"], dtype=np.uint8) for r in rows]
+    regs = hll_merge(sketches) if sketches else np.zeros(1 << p, np.uint8)
+    return hll_estimate(regs), regs
