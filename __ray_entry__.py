@@ -387,6 +387,17 @@ SELECT user_id,
 FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
 
+_QUANTILES_SQL = """
+WITH v AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS rnk FROM events),
+n AS (SELECT COUNT(*) AS c FROM v),
+qs AS (SELECT CAST(UNNEST([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+SELECT qs.q,
+       CAST(FLOOR(qs.q * ((SELECT c FROM n) - 1)) AS BIGINT) AS rank,
+       v.value
+FROM qs JOIN v ON v.rnk = CAST(FLOOR(qs.q * ((SELECT c FROM n) - 1)) AS BIGINT)
+ORDER BY qs.q
+"""
+
 _SESSION_SQL = """
 WITH x AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
 y AS (SELECT user_id, ts_us,
@@ -684,6 +695,21 @@ def _q_hll_tokens(sf_dir: str):
                                            batch_size=None), "tok", p=12)
     return pa.table({"distinct_tokens_est": pa.array([round(est, 1)]),
                      "p": pa.array([12], pa.int64())})
+
+
+def _q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of events.value: distributed sort +
+    rank-select fetching only the rank-holding blocks
+    (ops/quantile.py)."""
+    import os
+
+    import ray.data as rd
+
+    from libgrape_lite_ray.ops.quantile import exact_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    return exact_quantiles(ev, "value", [0.1, 0.5, 0.9, 0.99])
 
 
 def _q_degree_hist(sf_dir: str):
@@ -1184,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "top_tokens": _q_top_tokens,
         "hll_tokens": _q_hll_tokens,
+        "value_quantiles": _q_quantiles,
         "events_hourly": _q_hourly,
         "events_sliding": _q_sliding,
         "sessionize": _q_sessionize,
@@ -1229,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_SQL,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
         "top_tokens": _TOP_TOKENS_SQL,
+        "value_quantiles": _QUANTILES_SQL,
         "events_hourly": _HOURLY_SQL,
         "events_sliding": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,
