@@ -92,7 +92,17 @@ def _pagerank_local_sql(rounds: int = 10, d: float = 0.85) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
+# unroll depths shared by the fixed-depth SQL oracles AND the engine-side
+# query fns: run_graph_query(max_oracle_rounds=...) raises if the engine's
+# measured round count reaches the oracle's unroll, so a larger scale
+# factor can never silently under-iterate the oracle (calibrated at
+# sf0.01 with ~2.5x margin)
+_KCORE_DEPTH = 30
+_CORENESS_DEPTH = 16
+_MSBFS_DEPTH = 8
+
+
+def _kcore_sql(k: int = 3, rounds: int = _KCORE_DEPTH) -> str:
     """Unrolled k-core peeling on the distinct undirected edge set:
     round r keeps vertices with >= k alive neighbors; the derived
     graphs converge well under 30 peels (the Ray side converges
@@ -111,7 +121,7 @@ def _kcore_sql(k: int = 3, rounds: int = 30) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-def _coreness_sql(rounds: int = 16) -> str:
+def _coreness_sql(rounds: int = _CORENESS_DEPTH) -> str:
     """Unrolled h-index iteration (Lu et al. 2016): c0 = degree over
     the distinct undirected edge set; each round replaces c(v) with
     min(c(v), h-index of neighbors' c) via a ROW_NUMBER ranking.  The
@@ -136,7 +146,7 @@ def _coreness_sql(rounds: int = 16) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
-def _msbfs_sql(n_sources: int = 64, rounds: int = 8) -> str:
+def _msbfs_sql(n_sources: int = 64, rounds: int = _MSBFS_DEPTH) -> str:
     """Unrolled 64-source BFS closeness base: sources = the n_sources
     smallest vertex ids (the engine picks gids 0..S-1, which ARE the
     smallest oids), per-round frontier expansion with MIN-d dedup.
@@ -649,7 +659,8 @@ def _q_kcore(sf_dir: str):
     graph) so the oracle checks actual peeling, not a no-op."""
     from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
 
-    return run_graph_query(sf_dir, "kcore", {"k": 44}, variant="undirected")
+    return run_graph_query(sf_dir, "kcore", {"k": 44}, variant="undirected",
+                           max_oracle_rounds=_KCORE_DEPTH)
 
 
 def _q_coreness(sf_dir: str):
@@ -657,7 +668,8 @@ def _q_coreness(sf_dir: str):
     engine h-index-iteration program (programs/coreness.py)."""
     from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
 
-    return run_graph_query(sf_dir, "coreness", variant="undirected")
+    return run_graph_query(sf_dir, "coreness", variant="undirected",
+                           max_oracle_rounds=_CORENESS_DEPTH)
 
 
 def _q_msbfs(sf_dir: str):
@@ -667,7 +679,8 @@ def _q_msbfs(sf_dir: str):
     from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
 
     return run_graph_query(sf_dir, "msbfs", {"n_sources": 64},
-                           variant="undirected")
+                           variant="undirected",
+                           max_oracle_rounds=_MSBFS_DEPTH)
 
 
 def _q_hll_tokens(sf_dir: str):

@@ -98,8 +98,12 @@ def edges_from_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray | None = No
 
 
 def _endpoint_weight_table(edges_ds):
-    """(oid, weight) rows: src endpoints weigh 1 (out-degree proxy for
-    rebalancing), dst endpoints weigh 0 — union'd then summed."""
+    """(oid, weight) rows: BOTH endpoints weigh 1, so the summed weight
+    per oid is its total degree.  Total degree is the balance criterion
+    the symmetrized (undirected) variant needs — letting
+    ``_build_symmetrized_from_donor`` reuse the donor's partition starts
+    without a resample — and a sound proxy for directed superstep work
+    too (push cost tracks out-degree, ingestion tracks in-degree)."""
 
     def emit_partial(t: pa.Table) -> pa.Table:
         # pre-aggregate inside the batch (combiner) so the groupby
@@ -108,11 +112,11 @@ def _endpoint_weight_table(edges_ds):
         src = t.column("src").combine_chunks()
         dst = t.column("dst").combine_chunks()
         s_uniq = src.value_counts()
-        d_uniq = pc.unique(dst)
-        oid = pa.concat_arrays([s_uniq.field("values"), d_uniq])
+        d_uniq = dst.value_counts()
+        oid = pa.concat_arrays([s_uniq.field("values"), d_uniq.field("values")])
         cnt = np.concatenate([
             s_uniq.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
-            np.zeros(len(d_uniq), dtype=np.int64),
+            d_uniq.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
         ])
         return pa.table({"oid": oid, "cnt": cnt})
 
@@ -430,9 +434,13 @@ def _build_dense_int(edges_ds, work_dir, num_partitions, directed, symmetrize,
     if degree_aware:
         n_rows = max(edges_ds.count(), 1)
         frac = min(1.0, 2_000_000 / n_rows)
-        samp = (edges_ds.select_columns(["src"]).random_sample(frac, seed=42).to_pandas()
-                if frac < 1.0 else edges_ds.select_columns(["src"]).to_pandas())
-        w = np.bincount(samp["src"].to_numpy(), minlength=V).astype(np.float64)
+        cols2 = edges_ds.select_columns(["src", "dst"])
+        samp = (cols2.random_sample(frac, seed=42).to_pandas()
+                if frac < 1.0 else cols2.to_pandas())
+        # total degree (both endpoints), matching _endpoint_weight_table:
+        # donor starts then stay valid for a symmetrized-from-donor build
+        w = (np.bincount(samp["src"].to_numpy(), minlength=V)
+             + np.bincount(samp["dst"].to_numpy(), minlength=V)).astype(np.float64)
         w = w / max(frac, 1e-9) + 1.0
         cum = np.cumsum(w)
         targets = cum[-1] * np.arange(1, P) / P

@@ -447,8 +447,12 @@ class FragmentHost:
         t1 = time.perf_counter()
         if muts_in is not None:
             active += self.apply_mutations(muts_in)
+            # harvest ops queued THIS round too (by update above or by
+            # on_mutation hooks) — otherwise a mutation-apply round
+            # defers them an extra round and max_rounds can drop them
             return {"active": int(active), "ref": None, "dests": [],
                     "sent": 0, "mut_applied": True,
+                    "muts": self._harvest_mutations(),
                     "step_s": time.perf_counter() - t0,
                     "apply_s": t1 - t0, "pack_s": 0.0}
         if ckpt_dir:
@@ -841,6 +845,18 @@ class GraphEngine:
             prod = res  # each step returned the round r+1 exchange
         else:
             _free_bundles(prod)  # max_rounds hit: last exchange unconsumed
+        if staged is not None or schedule:
+            import warnings
+
+            pending = sorted(schedule.keys())
+            warnings.warn(
+                "run() exited with unapplied mutations: "
+                + ("routed ops staged for the next round; " if staged is not None else "")
+                + (f"mutation_schedule entries for rounds {pending} never reached; "
+                   if pending else "")
+                + "raise max_rounds or schedule earlier rounds",
+                RuntimeWarning, stacklevel=2,
+            )
         metrics["wall_s"] = time.perf_counter() - t_start
         metrics["supersteps_per_s"] = (
             (metrics["rounds"] - (r0 - 1)) / metrics["wall_s"] if metrics["wall_s"] > 0 else 0.0

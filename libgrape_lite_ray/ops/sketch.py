@@ -50,9 +50,16 @@ def _block_registers(values, p: int) -> np.ndarray:
     # rho = leading-zero count of the (64-p)-bit suffix + 1
     nz = w > 0
     rho = np.full(len(h), 64 - p + 1, dtype=np.uint8)
-    # floor(log2(w)) via float64 exponent is exact for w < 2^53; the
-    # suffix is 52 bits at p=12 (and any p >= 12), below that bound
-    rho[nz] = (64 - p) - np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
+    # exact bit_length via binary reduction (integer ops only — float64
+    # log2 rounds up for values just under a power of two once the
+    # suffix exceeds 53 bits, i.e. any p < 11, inflating rho by 1)
+    v = w[nz].copy()
+    bl = np.zeros(v.shape, np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << shift)
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    rho[nz] = (64 - p + 1) - (bl + 1)  # = suffix leading zeros + 1
     np.maximum.at(regs, idx, rho)
     return regs
 

@@ -148,13 +148,26 @@ def graph_meta_for(sf_dir: str, variant: str = "directed", num_partitions: int =
 
 
 def run_graph_query(sf_dir: str, program: str, params: dict | None = None,
-                    variant: str = "directed", num_partitions: int = 4) -> pa.Table:
+                    variant: str = "directed", num_partitions: int = 4,
+                    max_oracle_rounds: int | None = None) -> pa.Table:
     """Build/load the derived graph, run `program`, re-attach oids.
-    Returns a pyarrow Table with an `oid` int64 column first."""
+    Returns a pyarrow Table with an `oid` int64 column first.
+
+    ``max_oracle_rounds``: when the paired SQL oracle is a fixed-depth
+    unroll, pass its depth — the engine runs to convergence, so if its
+    measured round count reaches the oracle's unroll the oracle would
+    silently under-iterate at this scale factor and the comparison
+    would be meaningless; fail loudly here instead."""
     meta = graph_meta_for(sf_dir, variant, num_partitions)
     eng = GraphEngine(meta)
     try:
-        ds, _ = eng.run(program, params or {})
+        ds, metrics = eng.run(program, params or {})
+        if max_oracle_rounds is not None and metrics.get("rounds", 0) >= max_oracle_rounds:
+            raise AssertionError(
+                f"{program}: engine needed {metrics['rounds']} rounds but the SQL "
+                f"oracle unrolls only {max_oracle_rounds} — raise the oracle depth "
+                f"for this scale factor before trusting the comparison"
+            )
         tbl = pa.concat_tables(
             list(ds.iter_batches(batch_format="pyarrow", batch_size=1_000_000))
         )
