@@ -38,6 +38,23 @@ def _hash64(arr) -> np.ndarray:
     return _fnv1a_batch([str(s) for s in v])
 
 
+def _rho(w: np.ndarray, p: int) -> np.ndarray:
+    """rho = leading-zero count of the (64-p)-bit suffix + 1, exact for
+    every p in [4, 18]: bit_length via integer binary reduction (float64
+    log2 rounds up for values just under a power of two once the suffix
+    exceeds 53 bits, i.e. any p < 11, which inflated rho by 1)."""
+    nz = w > 0
+    rho = np.full(len(w), 64 - p + 1, dtype=np.uint8)
+    v = w[nz].copy()
+    bl = np.zeros(v.shape, np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << shift)
+        bl[big] += shift
+        v[big] >>= np.uint64(shift)
+    rho[nz] = (64 - p) - bl  # bl == floor(log2(w)) == bit_length - 1
+    return rho
+
+
 def _block_registers(values, p: int) -> np.ndarray:
     """One 2^p-byte HLL register array for a block of values."""
     m = 1 << p
@@ -47,20 +64,7 @@ def _block_registers(values, p: int) -> np.ndarray:
         return regs
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
-    # rho = leading-zero count of the (64-p)-bit suffix + 1
-    nz = w > 0
-    rho = np.full(len(h), 64 - p + 1, dtype=np.uint8)
-    # exact bit_length via binary reduction (integer ops only — float64
-    # log2 rounds up for values just under a power of two once the
-    # suffix exceeds 53 bits, i.e. any p < 11, inflating rho by 1)
-    v = w[nz].copy()
-    bl = np.zeros(v.shape, np.int64)
-    for shift in (32, 16, 8, 4, 2, 1):
-        big = v >= np.uint64(1 << shift)
-        bl[big] += shift
-        v[big] >>= np.uint64(shift)
-    rho[nz] = (64 - p + 1) - (bl + 1)  # = suffix leading zeros + 1
-    np.maximum.at(regs, idx, rho)
+    np.maximum.at(regs, idx, _rho(w, p))
     return regs
 
 

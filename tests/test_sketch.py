@@ -37,3 +37,41 @@ def test_hll_strings_and_merge(ray_session):
     _, rb = hll_distinct(db, "t")
     est_union = hll_estimate(hll_merge([ra, rb]))
     assert abs(est_union - 7500) / 7500 < 0.06
+
+
+def test_hll_rho_exact_integer_bitlength():
+    """_rho must equal the exact python-int computation for EVERY p the
+    API accepts, including adversarial suffixes just below a power of
+    two (where float64 log2 rounded UP once the suffix exceeded 53
+    bits — the p < 11 bias this guards against)."""
+    from libgrape_lite_ray.ops.sketch import _rho
+
+    for p in (4, 6, 8, 10, 11, 12, 18):
+        width = 64 - p
+        adversarial = [0, 1, 2, 3, (1 << width) - 1, (1 << width) - 2,
+                       (1 << 53) - 1 if width > 53 else (1 << (width - 1)) - 1,
+                       (1 << min(60, width)) - 1, 1 << (width - 1)]
+        w = np.array([a & ((1 << width) - 1) for a in adversarial], np.uint64)
+        got = _rho(w, p)
+        want = np.array(
+            [width + 1 if x == 0 else width - (int(x).bit_length() - 1)
+             for x in w.tolist()], np.uint8)
+        np.testing.assert_array_equal(got, want, err_msg=f"p={p}")
+
+
+def test_hll_registers_match_pure_python(ray_session):
+    """End-to-end register parity vs a per-value pure-python fold at a
+    small p (the regime the float64 path got wrong)."""
+    from libgrape_lite_ray.ops.sketch import _block_registers, _hash64
+
+    vals = pa.array(np.arange(50_000, dtype=np.int64) * 2654435761 + 7)
+    for p in (4, 8, 11):
+        regs = _block_registers(vals, p)
+        exp = np.zeros(1 << p, np.uint8)
+        for hh in _hash64(vals).tolist():
+            idx = hh >> (64 - p)
+            w = hh & ((1 << (64 - p)) - 1)
+            rho = (64 - p + 1) if w == 0 else (64 - p) - (w.bit_length() - 1)
+            if rho > exp[idx]:
+                exp[idx] = rho
+        np.testing.assert_array_equal(regs, exp, err_msg=f"p={p}")

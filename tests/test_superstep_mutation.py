@@ -166,3 +166,78 @@ def test_unsupported_program_raises(ray_session, tmp_work):
     with pytest.raises(Exception, match="per-superstep mutation"):
         eng.run("pagerank", {"rounds": 5}, mutation_schedule=sched)
     eng.shutdown()
+
+
+def test_run_warns_on_unreached_schedule(ray_session, tmp_work):
+    """A mutation_schedule entry past the last executed round must be
+    surfaced, not silently dropped."""
+    import warnings
+
+    from libgrape_lite_ray.graph.driver import GraphEngine
+
+    src, dst, w = _ring_edges(16)
+    meta = _build(tmp_work, "warn1", src, dst, w)
+    eng = GraphEngine(meta)
+    sched = {99: {"op": np.array([0], np.int8), "src": np.array([0], np.int64),
+                  "dst": np.array([8], np.int64), "w": np.array([1.0])}}
+    with pytest.warns(RuntimeWarning, match="never reached"):
+        eng.run("sssp", {"source": 0}, mutation_schedule=sched)
+    eng.shutdown()
+
+
+def test_run_warns_on_staged_at_max_rounds(ray_session, tmp_work):
+    """Ops staged for the round AFTER max_rounds (queued at the final
+    round) must warn — the old behavior dropped them silently."""
+    from libgrape_lite_ray.graph.driver import GraphEngine
+
+    src, dst, w = _ring_edges(16)
+    meta = _build(tmp_work, "warn2", src, dst, w)
+    eng = GraphEngine(meta)
+    sched = {3: {"op": np.array([0], np.int8), "src": np.array([0], np.int64),
+                 "dst": np.array([8], np.int64), "w": np.array([1.0])}}
+    with pytest.warns(RuntimeWarning, match="staged for the next round"):
+        eng.run("sssp", {"source": 0}, max_rounds=3, mutation_schedule=sched)
+    eng.shutdown()
+
+
+def test_apply_round_harvest_not_deferred(ray_session, tmp_work):
+    """Ops a program queues DURING the round a prior mutation applies
+    (here: inside on_mutation) must be harvested that same round — with
+    the tightest max_rounds that lets the prompt-harvest path finish,
+    the final distances must reflect BOTH edges and no drop warning may
+    fire."""
+    import warnings
+
+    from libgrape_lite_ray.graph.driver import GraphEngine
+    from libgrape_lite_ray.graph.programs.sssp import SSSP
+
+    class ChainMutSSSP(SSSP):
+        name = "_test_chain_mut_sssp"
+
+        def on_mutation(self, old_outer):
+            # queued while apply_mutations runs (round 2's barrier);
+            # prompt harvest stages it for round 3
+            if self.frag.lo <= 0 < self.frag.hi and not getattr(self, "_did", False):
+                self._did = True
+                self.queue_add_edge(0, 15, 0.125)
+            return super().on_mutation(old_outer)
+
+    n = 16
+    src, dst, w = _ring_edges(n)
+    meta = _build(tmp_work, "chain", src, dst, w)
+    eng = GraphEngine(meta)
+    sched = {1: {"op": np.array([0], np.int8), "src": np.array([0], np.int64),
+                 "dst": np.array([8], np.int64), "w": np.array([0.5])}}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        ds, metrics = eng.run(ChainMutSSSP, {"source": 0},
+                              mutation_schedule=sched)
+    got = ds.to_pandas().sort_values("gid")["dist"].to_numpy()
+    eng.shutdown()
+
+    src2, dst2, w2 = _ring_edges(n, [(0, 8, 0.5), (0, 15, 0.125)])
+    meta2 = _build(tmp_work, "chainfull", src2, dst2, w2)
+    eng2 = GraphEngine(meta2)
+    want, _ = _sssp(eng2)
+    eng2.shutdown()
+    np.testing.assert_allclose(got, want)
