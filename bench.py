@@ -371,6 +371,19 @@ def run_bench() -> dict:
 
 
 def run_scaling():
+    def settle(max_wait_s: float = 420.0, quiet: float = 1.0):
+        """Block until 1-min loadavg < quiet (or max_wait_s).  Every leg
+        is a fresh process on the SAME box: without this, each leg's
+        first reps inherit the previous leg's decaying CPU load and the
+        membw probes under-read by 3-6x (observed 58 vs 380 GB/s copy
+        at 32 workers), poisoning both the timings and the recorded
+        hardware ceilings.  Untimed, so patience is free."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < max_wait_s:
+            if float(open("/proc/loadavg").read().split()[0]) < quiet:
+                return
+            time.sleep(10.0)
+
     def one(ncpu: int, env_extra: dict | None = None) -> dict:
         # long prewarm deadline: at low core counts a cold heap faults
         # slowly; a bailed prewarm poisons every timed rep (round-3
@@ -393,6 +406,7 @@ def run_scaling():
 
         if _sh.which("taskset"):
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        settle()
         p = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(p.stdout.strip().splitlines()[-1])
@@ -404,6 +418,7 @@ def run_scaling():
         script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "scripts", "membw.py")
         cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable, script, str(ncpu)]
+        settle()
         p = subprocess.run(cmd, capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
