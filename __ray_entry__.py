@@ -92,6 +92,39 @@ def _pagerank_local_sql(rounds: int = 10, d: float = 0.85) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _ppr_sql(n_sources: int = 4, rounds: int = 8, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank / random walk with restart
+    (programs/ppr.py semantics): teleport mass concentrated on the
+    n_sources smallest vertex ids (gids 0..S-1 ARE the smallest oids),
+    dangling mass leaks (no redistribution), and mass flows along
+    OUT-edges like a real surfer (textbook direction — v gathers
+    r(u)/outdeg(u) over its IN-edges), so sum(ppr) <= 1."""
+    ctes = [
+        _E, _U, _V,
+        "DEG AS MATERIALIZED (SELECT v.node, COALESCE(o.c, 0) AS deg FROM V v LEFT JOIN "
+        "(SELECT src, COUNT(*) AS c FROM E GROUP BY src) o ON v.node = o.src)",
+        f"S AS MATERIALIZED (SELECT node FROM V ORDER BY node LIMIT {n_sources})",
+        "EV AS MATERIALIZED (SELECT d.node, d.deg, CASE WHEN s.node IS NOT NULL "
+        f"THEN 1.0/{n_sources} ELSE 0.0 END AS e FROM DEG d LEFT JOIN S s ON d.node = s.node)",
+        "q0 AS MATERIALIZED (SELECT node, deg, e, e AS rank, "
+        "CASE WHEN deg > 0 THEN e/deg ELSE 0.0 END AS r FROM EV)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"qc{k} AS MATERIALIZED (SELECT E.dst AS node, SUM(p.r) AS s FROM E "
+            f"JOIN q{k-1} p ON E.src = p.node GROUP BY E.dst)"
+        )
+        rank = f"(1.0 - {d}) * v.e + {d} * COALESCE(c.s, 0)"
+        ctes.append(
+            f"q{k} AS MATERIALIZED (SELECT v.node, v.deg, v.e, {rank} AS rank, "
+            f"CASE WHEN v.deg > 0 THEN ({rank})/v.deg ELSE 0.0 END AS r "
+            f"FROM q{k-1} v LEFT JOIN qc{k} c ON v.node = c.node)"
+        )
+    final = (f"SELECT node AS oid, ROUND(rank, 8) AS ppr "
+             f"FROM q{rounds} ORDER BY oid")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 # unroll depths shared by the fixed-depth SQL oracles AND the engine-side
 # query fns: run_graph_query(max_oracle_rounds=...) raises if the engine's
 # measured round count reaches the oracle's unroll, so a larger scale
@@ -768,6 +801,22 @@ def _q_pagerank(sf_dir: str):
                         pc.round(t.column("pagerank"), ndigits=8))
 
 
+def _q_ppr(sf_dir: str):
+    """Personalized PageRank from the 4 smallest-oid seed pages
+    (programs/ppr.py): topic-sensitive relevance over the derived
+    directed graph, 8 fixed rounds, dangling mass leaks (standard
+    random-walk-with-restart)."""
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "ppr",
+                        {"sources": [0, 1, 2, 3], "rounds": 8, "damping": 0.85},
+                        variant="directed")
+    return t.set_column(t.schema.get_field_index("ppr"), "ppr",
+                        pc.round(t.column("ppr"), ndigits=8))
+
+
 def _q_pagerank_local(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1205,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msbfs_closeness": _q_msbfs,
         "pagerank": _q_pagerank,
         "pagerank_local": _q_pagerank_local,
+        "ppr": _q_ppr,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
         "triangle_count": _q_triangle_count,
@@ -1252,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "msbfs_closeness": _msbfs_sql(),
         "pagerank": _pagerank_sql(10, 0.85),
         "pagerank_local": _pagerank_local_sql(10, 0.85),
+        "ppr": _ppr_sql(n_sources=4, rounds=8, d=0.85),
         "wcc": _WCC_SQL,
         "cdlp": _cdlp_sql(10),
         "triangle_count": _TRI_COUNT_SQL,
