@@ -125,6 +125,44 @@ def _ppr_sql(n_sources: int = 4, rounds: int = 8, d: float = 0.85) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled HITS hubs & authorities (programs/hits.py semantics):
+    L1-normalized per iteration, with the engine's exact arithmetic
+    order replicated — RAW vectors are aggregated first and the SUM is
+    divided by the previous global norm (hraw0 = 1, nh0 = 1), so the
+    only float divergence is summation order, absorbed by ROUND(,8)."""
+    ctes = [
+        _E, _U, _V,
+        "hraw0 AS MATERIALIZED (SELECT node, 1.0 AS hraw FROM V)",
+        "nh0 AS MATERIALIZED (SELECT 1.0 AS s)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"ac{k} AS MATERIALIZED (SELECT E.dst AS node, SUM(p.hraw) AS s FROM E "
+            f"JOIN hraw{k-1} p ON E.src = p.node GROUP BY E.dst)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT v.node, COALESCE(c.s, 0)/(SELECT s FROM nh{k-1}) AS a "
+            f"FROM V v LEFT JOIN ac{k} c ON v.node = c.node)"
+        )
+        ctes.append(f"na{k} AS MATERIALIZED (SELECT SUM(a) AS s FROM a{k})")
+        ctes.append(
+            f"hc{k} AS MATERIALIZED (SELECT E.src AS node, SUM(q.a) AS s FROM E "
+            f"JOIN a{k} q ON E.dst = q.node GROUP BY E.src)"
+        )
+        ctes.append(
+            f"hraw{k} AS MATERIALIZED (SELECT v.node, COALESCE(c.s, 0)/(SELECT s FROM na{k}) AS hraw "
+            f"FROM V v LEFT JOIN hc{k} c ON v.node = c.node)"
+        )
+        ctes.append(f"nh{k} AS MATERIALIZED (SELECT SUM(hraw) AS s FROM hraw{k})")
+    final = (
+        f"SELECT a.node AS oid, ROUND(a.a/(SELECT s FROM na{iters}), 8) AS authority, "
+        f"ROUND(h.hraw/(SELECT s FROM nh{iters}), 8) AS hub "
+        f"FROM a{iters} a JOIN hraw{iters} h ON a.node = h.node ORDER BY oid"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 # unroll depths shared by the fixed-depth SQL oracles AND the engine-side
 # query fns: run_graph_query(max_oracle_rounds=...) raises if the engine's
 # measured round count reaches the oracle's unroll, so a larger scale
@@ -817,6 +855,22 @@ def _q_ppr(sf_dir: str):
                         pc.round(t.column("ppr"), ndigits=8))
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities (programs/hits.py): 8 L1-normalized
+    iterations over the derived directed graph, run as 2 supersteps
+    per iteration (push a-phase, pull h-phase) with per-round global
+    norms over the Communicator channel."""
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "hits", {"rounds": 8}, variant="directed")
+    for col in ("authority", "hub"):
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pc.round(t.column(col), ndigits=8))
+    return t
+
+
 def _q_pagerank_local(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1255,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_local": _q_pagerank_local,
         "ppr": _q_ppr,
+        "hits": _q_hits,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
         "triangle_count": _q_triangle_count,
@@ -1303,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(10, 0.85),
         "pagerank_local": _pagerank_local_sql(10, 0.85),
         "ppr": _ppr_sql(n_sources=4, rounds=8, d=0.85),
+        "hits": _hits_sql(iters=8),
         "wcc": _WCC_SQL,
         "cdlp": _cdlp_sql(10),
         "triangle_count": _TRI_COUNT_SQL,

@@ -428,7 +428,7 @@ class FragmentHost:
         return {"active": int(active), "consume_s": time.perf_counter() - t0}
 
     def step(self, rnd: int, incoming: list, ckpt_dir: str | None = None,
-             muts_in: dict | None = None):
+             muts_in: dict | None = None, globals_in: dict | None = None):
         """Fused superstep: consume round `rnd`, then produce round
         `rnd`+1 — one RPC barrier per round instead of two (the
         reference overlaps the same way: FinishARound posts sends while
@@ -440,8 +440,19 @@ class FragmentHost:
         in-flight payload was produced and consumed on the same
         topology); the step then skips produce — the driver re-registers
         mirrors across the fleet before asking for round ``rnd``+1.
+
+        ``globals_in`` (per-round Communicator scalars,
+        grape/communication/communicator.h Sum/Max over rounds): the
+        value-summed aggregate of every program's ``take_globals()``
+        partials from round ``rnd``-1, delivered via ``set_globals``
+        BEFORE this round's update — a one-round-delayed global
+        reduction (HITS normalizes with it; PageRank's dangling sum
+        uses the init-time variant of the same channel).
         """
         t0 = time.perf_counter()
+        if globals_in:
+            for prog in self.programs.values():
+                prog.set_globals(globals_in)
         pairs = self._gather_pairs(rnd, incoming)
         active = self._apply_all(rnd, pairs)
         t1 = time.perf_counter()
@@ -453,16 +464,31 @@ class FragmentHost:
             return {"active": int(active), "ref": None, "dests": [],
                     "sent": 0, "mut_applied": True,
                     "muts": self._harvest_mutations(),
+                    "globals": self._harvest_globals(),
                     "step_s": time.perf_counter() - t0,
                     "apply_s": t1 - t0, "pack_s": 0.0}
         if ckpt_dir:
             self.checkpoint(ckpt_dir, rnd)
+        glob_out = self._harvest_globals()
         ref, dests, sent, pack_s = self._produce_payload(rnd + 1)
         muts_out = self._harvest_mutations()
         return {"active": int(active), "ref": ref, "dests": dests,
-                "sent": sent, "muts": muts_out,
+                "sent": sent, "muts": muts_out, "globals": glob_out,
                 "step_s": time.perf_counter() - t0,
                 "apply_s": t1 - t0, "pack_s": pack_s}
+
+    def _harvest_globals(self):
+        """Drain per-round global-scalar partials the hosted programs
+        queued during update (Communicator Sum analog) — value-summed
+        here per host, then across hosts by the driver, delivered back
+        next round via ``set_globals``.  Returns a dict or None."""
+        g: dict = {}
+        for prog in self.programs.values():
+            tg = prog.take_globals() if hasattr(prog, "take_globals") else None
+            if tg:
+                for k, v in tg.items():
+                    g[k] = g.get(k, 0.0) + float(v)
+        return g or None
 
     def _harvest_mutations(self):
         """Collect edge ops the hosted programs queued during this
@@ -724,12 +750,19 @@ class GraphEngine:
                    else getattr(program, "name", program.__name__)}
         r0 = 1
         resumed_from = None
+        glob_next: dict | None = None  # round-r-1 Communicator aggregate
         if resume and ckpt_dir:
             step = self._latest_step(ckpt_dir, metrics["program"])
             if step is not None:
                 ray.get([a.restore.remote(program, params, ckpt_dir, step) for a in self.actors])
                 r0 = step + 1
                 resumed_from = step
+                # re-seed the in-flight global aggregate the killed run
+                # had summed after round `step`'s barrier (manifest is
+                # written post-barrier, so it carries exactly what the
+                # uninterrupted run would deliver to round step+1)
+                with open(self._manifest_path(ckpt_dir, step)) as f:
+                    glob_next = json.load(f).get("globals_in_next") or None
         if resumed_from is None:
             partials = ray.get([a.init_program.remote(program, params) for a in self.actors])
             agg: dict = {}
@@ -798,9 +831,15 @@ class GraphEngine:
                            and staged is None and not mutated)
             res = ray.get(
                 [a.step.remote(r, incoming[h], ckpt_dir if do_ckpt else None,
-                               staged[h] if staged is not None else None)
+                               staged[h] if staged is not None else None,
+                               glob_next)
                  for h, a in enumerate(self.actors)]
             )
+            gl: dict = {}
+            for x in res:
+                for k, v in (x.get("globals") or {}).items():
+                    gl[k] = gl.get(k, 0.0) + v
+            glob_next = gl or None
             _free_bundles(prod)  # round-r bundles: consumed by the barrier above
             mut_applied = staged is not None
             mutated = mutated or mut_applied
@@ -834,12 +873,14 @@ class GraphEngine:
             })
             metrics["rounds"] = r
             if do_ckpt:
-                self._write_manifest(ckpt_dir, metrics["program"], params, r, metrics, converged=active == 0)
+                self._write_manifest(ckpt_dir, metrics["program"], params, r, metrics,
+                                     converged=active == 0, globals_in_next=glob_next)
                 last_ckpt = r
             if active == 0:
                 if ckpt_dir and checkpoint_every and last_ckpt != r and not mutated:
                     ray.get([a.checkpoint.remote(ckpt_dir, r) for a in self.actors])
-                    self._write_manifest(ckpt_dir, metrics["program"], params, r, metrics, converged=True)
+                    self._write_manifest(ckpt_dir, metrics["program"], params, r, metrics,
+                                         converged=True, globals_in_next=glob_next)
                 _free_bundles(res)  # round r+1 exchange: never consumed
                 break
             prod = res  # each step returned the round r+1 exchange
@@ -868,7 +909,8 @@ class GraphEngine:
     def _manifest_path(self, ckpt_dir: str, rnd: int) -> str:
         return os.path.join(ckpt_dir, f"step={rnd}", "MANIFEST.json")
 
-    def _write_manifest(self, ckpt_dir, program, params, rnd, metrics, converged):
+    def _write_manifest(self, ckpt_dir, program, params, rnd, metrics, converged,
+                        globals_in_next: dict | None = None):
         m = {
             "algorithm": program,
             "params": {k: v for k, v in params.items()},
@@ -878,6 +920,9 @@ class GraphEngine:
             "num_vertices": self.meta.num_vertices,
             "converged": bool(converged),
             "round_log": metrics["round_log"][-1:],
+            # in-flight Communicator aggregate (summed post-barrier):
+            # resume feeds it to round rnd+1 exactly like the live run
+            "globals_in_next": globals_in_next,
         }
         path = self._manifest_path(ckpt_dir, rnd)
         with open(path + ".tmp", "w") as f:

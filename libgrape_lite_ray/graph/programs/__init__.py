@@ -20,11 +20,12 @@ from .kcore import KCore
 from .coreness import Coreness
 from .msbfs import MSBFS
 from .ppr import PPR
+from .hits import HITS
 
-PROGRAMS = {p.name: p for p in (PageRank, PageRankLocal, PPR, WCC, CDLP, BFS, SSSP,
+PROGRAMS = {p.name: p for p in (PageRank, PageRankLocal, PPR, HITS, WCC, CDLP, BFS, SSSP,
                                 LCC, Degree, KCore, Coreness, MSBFS, SampleNeighbors, MultiHopSampler,
                                 VDataSum, VDataMatch)}
 
-__all__ = ["VertexProgram", "PageRank", "PageRankLocal", "PPR", "WCC", "CDLP", "BFS", "KCore",
+__all__ = ["VertexProgram", "PageRank", "PageRankLocal", "PPR", "HITS", "WCC", "CDLP", "BFS", "KCore",
            "SSSP", "LCC", "Degree", "Coreness", "MSBFS", "SampleNeighbors", "MultiHopSampler",
            "VDataSum", "VDataMatch", "PROGRAMS"]

@@ -40,6 +40,7 @@ class VertexProgram:
         self.frag = frag
         self.params = params
         self._mut_ops: list[tuple] = []
+        self._global_partials: dict[str, float] = {}
 
     # per-superstep mutation (grape/app/mutation_context.h add_edge /
     # remove_edge + worker.h:176-187 processMutation) ----------------
@@ -61,6 +62,24 @@ class VertexProgram:
         a = np.asarray(ops, dtype=np.float64)
         return {"op": a[:, 0].astype(np.int8), "src": a[:, 1].astype(np.int64),
                 "dst": a[:, 2].astype(np.int64), "w": a[:, 3]}
+
+    # per-round Communicator scalars (grape/communication/
+    # communicator.h Sum, extended from init-time to every round) ----
+    def queue_global(self, key: str, value: float):
+        """Queue a float partial during ``update``; the driver value-sums
+        partials across ALL fragments after the round's barrier and
+        delivers the aggregate to every program via ``set_globals``
+        BEFORE the NEXT round's update (one-round-delayed global
+        reduction — see driver.FragmentHost.step)."""
+        self._global_partials[key] = self._global_partials.get(key, 0.0) + float(value)
+
+    def take_globals(self):
+        """Driver hook: drain queued global partials (or None)."""
+        if not self._global_partials:
+            return None
+        g = self._global_partials
+        self._global_partials = {}
+        return g
 
     def on_mutation(self, old_outer_gids: np.ndarray) -> int:
         """Called after the hosting fragment's CSR was rebuilt by a
