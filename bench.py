@@ -283,9 +283,20 @@ def run_bench() -> dict:
     tmeta = graph_meta_for(sf_dir, "directed", num_partitions=min(8, P))
     eng = GraphEngine(tmeta)
     eng.run("pagerank", {"rounds": 10})
-    eng.shutdown()
     timings["tpch_pagerank"] = time.perf_counter() - t0
     _mark("tpch_pagerank")
+    # seed-relative + dual ranking on the same loaded graph (round 5:
+    # PPR over the mirror-push channel, HITS over the per-round
+    # Communicator global-norm channel)
+    t0 = time.perf_counter()
+    eng.run("ppr", {"sources": [0, 1, 2, 3], "rounds": 10})
+    timings["tpch_ppr"] = time.perf_counter() - t0
+    _mark("tpch_ppr")
+    t0 = time.perf_counter()
+    eng.run("hits", {"rounds": 5})
+    eng.shutdown()
+    timings["tpch_hits"] = time.perf_counter() - t0
+    _mark("tpch_hits")
 
     # ---- near-dup clustering pipeline over the sf documents (fast
     # signature mode): LSH pairs -> engine WCC over the pair graph ->
