@@ -98,3 +98,30 @@ def test_run_cli_mid_algorithm_resume(ray_session, tmp_work):
     t_full = _read_out(f"{tmp_work}/full").sort_by("oid")
     t_res = _read_out(f"{tmp_work}/part2").sort_by("oid")
     assert t_full.equals(t_res)
+
+
+def test_run_cli_hits_and_ppr(ray_session, tmp_work):
+    """The round-5 programs work through the job entrypoint unchanged
+    (registry-driven --algo): HITS emits both score columns, PPR
+    restarts from its seed set."""
+    from libgrape_lite_ray.run import main
+
+    ep = f"{tmp_work}/edges.parquet"
+    _edges_parquet(ep)
+    s = main(["--edges", ep, "--algo", "hits", "--params", '{"rounds": 3}',
+              "--work-dir", f"{tmp_work}/wd", "--out", f"{tmp_work}/hits",
+              "--num-partitions", "3"])
+    t = _read_out(f"{tmp_work}/hits")
+    assert set(t.column_names) >= {"oid", "authority", "hub"}
+    assert s["rounds"] == 2 * 3 + 1
+    a = np.asarray(t.column("authority"))
+    np.testing.assert_allclose(a.sum(), 1.0, rtol=1e-9)
+
+    s = main(["--edges", ep, "--algo", "ppr",
+              "--params", '{"sources": [0, 1], "rounds": 6}',
+              "--work-dir", f"{tmp_work}/wd", "--out", f"{tmp_work}/ppr",
+              "--num-partitions", "3"])
+    t = _read_out(f"{tmp_work}/ppr")
+    assert set(t.column_names) >= {"oid", "ppr"}
+    p = np.asarray(t.column("ppr"))
+    assert p.sum() <= 1.0 + 1e-9 and p.max() > 0
