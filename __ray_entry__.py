@@ -125,6 +125,46 @@ def _ppr_sql(n_sources: int = 4, rounds: int = 8, d: float = 0.85) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + final
 
 
+def _ppr_weighted_sql(n_sources: int = 4, rounds: int = 8, d: float = 0.85) -> str:
+    """Weighted personalized PageRank (programs/ppr.py weighted=True):
+    transition probability proportional to edge weight, w(e)/W(src(e))
+    — the random-walk analog of the gnn_sampler's accumulated-weight
+    draws.  Same teleport/leak semantics as _ppr_sql; per-edge division
+    mirrors the engine's cached transition array exactly."""
+    K_ = K
+    ew = f"""EW AS MATERIALIZED (
+  SELECT CAST(l_orderkey % {K_} AS BIGINT) AS src,
+         CAST((l_partkey * 7 + l_suppkey) % {K_} AS BIGINT) AS dst,
+         CAST(MIN(l_quantity) AS DOUBLE) AS w
+  FROM lineitem
+  WHERE (l_orderkey % {K_}) <> ((l_partkey * 7 + l_suppkey) % {K_})
+  GROUP BY 1, 2
+)"""
+    ctes = [
+        _E, _U, _V, ew,
+        "WD AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM EW GROUP BY src)",
+        f"S AS MATERIALIZED (SELECT node FROM V ORDER BY node LIMIT {n_sources})",
+        "EV AS MATERIALIZED (SELECT v.node, CASE WHEN s.node IS NOT NULL "
+        f"THEN 1.0/{n_sources} ELSE 0.0 END AS e FROM V v LEFT JOIN S s ON v.node = s.node)",
+        "w0 AS MATERIALIZED (SELECT node, e, e AS rank FROM EV)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"wc{k} AS MATERIALIZED (SELECT ew.dst AS node, "
+            f"SUM(p.rank * ew.w / wd.tw) AS s FROM EW ew "
+            f"JOIN w{k-1} p ON ew.src = p.node "
+            f"JOIN WD wd ON wd.src = ew.src GROUP BY ew.dst)"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT v.node, v.e, "
+            f"(1.0 - {d}) * v.e + {d} * COALESCE(c.s, 0) AS rank "
+            f"FROM w{k-1} v LEFT JOIN wc{k} c ON v.node = c.node)"
+        )
+    final = (f"SELECT node AS oid, ROUND(rank, 8) AS ppr "
+             f"FROM w{rounds} ORDER BY oid")
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
 def _hits_sql(iters: int = 8) -> str:
     """Unrolled HITS hubs & authorities (programs/hits.py semantics):
     L1-normalized per iteration, with the engine's exact arithmetic
@@ -855,6 +895,22 @@ def _q_ppr(sf_dir: str):
                         pc.round(t.column("ppr"), ndigits=8))
 
 
+def _q_ppr_weighted(sf_dir: str):
+    """Weighted personalized PageRank on the weighted derived graph
+    (w = MIN(l_quantity) per edge): transitions proportional to edge
+    weight via the engine's cached per-edge transition array."""
+    import pyarrow.compute as pc
+
+    from libgrape_lite_ray.pipelines.tpch_graph import run_graph_query
+
+    t = run_graph_query(sf_dir, "ppr",
+                        {"sources": [0, 1, 2, 3], "rounds": 8,
+                         "damping": 0.85, "weighted": True},
+                        variant="weighted")
+    return t.set_column(t.schema.get_field_index("ppr"), "ppr",
+                        pc.round(t.column("ppr"), ndigits=8))
+
+
 def _q_hits(sf_dir: str):
     """HITS hubs & authorities (programs/hits.py): 8 L1-normalized
     iterations over the derived directed graph, run as 2 supersteps
@@ -1309,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_local": _q_pagerank_local,
         "ppr": _q_ppr,
+        "ppr_weighted": _q_ppr_weighted,
         "hits": _q_hits,
         "wcc": _q_wcc,
         "cdlp": _q_cdlp,
@@ -1358,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(10, 0.85),
         "pagerank_local": _pagerank_local_sql(10, 0.85),
         "ppr": _ppr_sql(n_sources=4, rounds=8, d=0.85),
+        "ppr_weighted": _ppr_weighted_sql(n_sources=4, rounds=8, d=0.85),
         "hits": _hits_sql(iters=8),
         "wcc": _WCC_SQL,
         "cdlp": _cdlp_sql(10),

@@ -35,13 +35,16 @@ class PPR(VertexProgram):
     name = "ppr"
 
     def __init__(self, frag, sources=(0,), rounds: int = 10,
-                 damping: float = 0.85, **kw):
+                 damping: float = 0.85, weighted: bool = False, **kw):
         super().__init__(frag, **kw)
         self.sources = np.asarray(sorted(int(s) for s in sources), np.int64)
         if len(self.sources) == 0:
             raise ValueError("ppr needs at least one source gid")
         self.rounds = int(rounds)
         self.d = float(damping)
+        self.weighted = bool(weighted)
+        if self.weighted and frag.edge_w is None:
+            raise ValueError("ppr weighted=True requires a weighted graph")
 
     def _teleport(self) -> np.ndarray:
         """e(v) over this fragment's inner range."""
@@ -52,16 +55,37 @@ class PPR(VertexProgram):
         return e
 
     def _scatter(self):
-        """Accumulate r(u)/outdeg(u) along the local out-CSR into a
-        fresh tvnum buffer (inner targets + outer mirrors)."""
+        """Accumulate the per-edge transition mass along the local
+        out-CSR into a fresh tvnum buffer (inner targets + outer
+        mirrors): r(u)/outdeg(u) per edge, or r(u)*w(e)/W(u) when
+        ``weighted`` (edge-weight-proportional transitions — the
+        random-walk analog of gnn_sampler's accumulated-weight draws,
+        fragment_indices.h:71-97)."""
         f = self.frag
         self.buf = np.zeros(f.tvnum, dtype=np.float64)
-        contrib = self.rank / np.maximum(f.out_degree, 1)  # dangling rows repeat 0 times
-        f.push_sum(self.buf, np.repeat(contrib, np.diff(f.indptr)))
+        if self.weighted:
+            edge_vals = np.asarray(self.rank)[f.src_of_edge] * self._trans
+        else:
+            contrib = self.rank / np.maximum(f.out_degree, 1)  # dangling rows repeat 0x
+            edge_vals = np.repeat(contrib, np.diff(f.indptr))
+        f.push_sum(self.buf, edge_vals)
+
+    def _edge_transitions(self):
+        """Cached per-edge transition probabilities w(e)/W(src(e)) —
+        computed once per fragment load, reused every round."""
+        f = self.frag
+        w = np.asarray(f.edge_w, np.float64)
+        if len(w) and w.min() < 0:
+            raise ValueError("weighted ppr requires non-negative edge weights")
+        src = np.asarray(f.src_of_edge, np.int64)
+        W = np.bincount(src, weights=w, minlength=f.ivnum)
+        return w / np.maximum(W[src], 1e-300)
 
     def init(self) -> dict:
         self.e = self._teleport()
         self.rank = self.e.copy()
+        if self.weighted:
+            self._trans = self._edge_transitions()
         self._scatter()
         self.step = 0
         self.done = self.rounds <= 0
@@ -97,6 +121,8 @@ class PPR(VertexProgram):
         self.rank = arrays["rank"]
         self.step = int(scalars["step"])
         self.done = bool(scalars["done"])
+        if self.weighted:
+            self._trans = self._edge_transitions()
         if not self.done:
             self._scatter()
         else:

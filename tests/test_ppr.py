@@ -66,3 +66,34 @@ def test_ppr_restart_locality(ray_session, tmp_work):
     eng.shutdown()
     assert got[16:].sum() == 0.0
     np.testing.assert_allclose(got[:16].sum(), 1.0, rtol=1e-9)  # no dangling in a ring
+
+
+def test_ppr_weighted_matches_numpy(ray_session, tmp_work):
+    """weighted=True: transitions proportional to edge weight,
+    w(e)/W(u) — numpy parity on a random weighted graph."""
+    from libgrape_lite_ray.graph.build import build_graph, edges_from_numpy
+    from libgrape_lite_ray.graph.driver import GraphEngine
+
+    rng = np.random.default_rng(31)
+    n, m = 250, 2000
+    src, dst = _dedup(rng.integers(0, n, m).astype(np.int64),
+                      rng.integers(0, n, m).astype(np.int64))
+    w = rng.random(len(src)).round(3) + 0.05
+    meta = build_graph(edges_from_numpy(src, dst, w), f"{tmp_work}/gw", 4,
+                       dense_int_oids=True, weight_col="w")
+    eng = GraphEngine(meta)
+    ds, _ = eng.run("ppr", {"sources": [7, 200], "rounds": 9, "weighted": True})
+    got = ds.to_pandas().sort_values("gid")["ppr"].to_numpy()
+    eng.shutdown()
+
+    e = np.zeros(n)
+    e[[7, 200]] = 0.5
+    W = np.bincount(src, weights=w, minlength=n)
+    trans = w / W[src]
+    rank = e.copy()
+    for _ in range(9):
+        s = np.zeros(n)
+        np.add.at(s, dst, rank[src] * trans)
+        rank = (1 - 0.85) * e + 0.85 * s
+    np.testing.assert_allclose(got, rank, rtol=1e-11)
+    assert got.sum() <= 1.0 + 1e-9
